@@ -1,0 +1,212 @@
+"""Bicubic/bilinear image resize as MXU matmuls.
+
+TPU-first design: every resize the reference performs — MATLAB ``imresize``
+(reference ``srdiff/model.py:1163-1312``), torch ``F.interpolate(mode=
+'bicubic', align_corners=True)`` (``st_app1.py:1593-1597``), and PIL/
+torchvision ``Resize(..., BICUBIC)`` (srdiff_notebook cell 12) — is a
+*separable linear map*, so here each axis resize is materialised as a dense
+``(out_len, in_len)`` weight matrix built once at trace time (static shapes)
+and applied with ``jnp.einsum``. Two einsums == two MXU matmuls; XLA fuses the
+surrounding elementwise work. No gathers, no dynamic shapes, no Python loops
+inside jit.
+
+Variants (selected by ``variant=``):
+
+- ``"matlab"``  — MATLAB ``imresize`` semantics: cubic a=-0.5, *antialiased*
+  when downscaling, symmetric (mirror) boundary, per-row weight
+  renormalisation. Bit-matches the NumPy port the reference vendors.
+- ``"torch"``   — torch bicubic ``align_corners=True``: cubic a=-0.75, no
+  antialias, replicate boundary.
+- ``"torch_half"`` — torch bicubic ``align_corners=False`` (half-pixel).
+- ``"pil"``     — PIL BICUBIC (torchvision ``Resize``): cubic a=-0.5,
+  antialiased, window clipped to bounds + renormalised.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic(x: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic convolution kernel with free parameter ``a``."""
+    x = np.abs(x.astype(np.float64))
+    x2 = x * x
+    x3 = x2 * x
+    f = ((a + 2.0) * x3 - (a + 3.0) * x2 + 1.0) * (x <= 1.0)
+    f = f + (a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a) * ((x > 1.0) & (x <= 2.0))
+    return f
+
+
+def _triangle(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x.astype(np.float64))
+    return np.maximum(0.0, 1.0 - x)
+
+
+def _kernel_for(method: str, variant: str):
+    if method == "bilinear":
+        return _triangle, 2.0
+    a = -0.75 if variant in ("torch", "torch_half") else -0.5
+    return functools.partial(_cubic, a=a), 4.0
+
+
+def _matrix_matlab(in_len: int, out_len: int, method: str) -> np.ndarray:
+    """MATLAB imresize row-weight matrix (antialias when shrinking)."""
+    kernel, kernel_width = _kernel_for(method, "matlab")
+    scale = out_len / in_len
+    if scale < 1.0:
+        width = kernel_width / scale
+        h = lambda x: scale * kernel(scale * np.asarray(x, dtype=np.float64))
+    else:
+        width = kernel_width
+        h = kernel
+    # MATLAB maps output pixel x (1-indexed) to input coordinate u.
+    x = np.arange(1, out_len + 1, dtype=np.float64)
+    u = x / scale + 0.5 * (1.0 - 1.0 / scale)
+    left = np.floor(u - width / 2.0)
+    p = int(math.ceil(width)) + 2
+    cols = left[:, None] + np.arange(p)[None, :] - 1.0  # 0-indexed taps
+    w = h(u[:, None] - cols - 1.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    # symmetric (mirror, no repeated edge) boundary handling
+    mirror = np.concatenate([np.arange(in_len), np.arange(in_len - 1, -1, -1)])
+    idx = mirror[np.mod(cols.astype(np.int64), 2 * in_len)]
+    mat = np.zeros((out_len, in_len), dtype=np.float64)
+    np.add.at(mat, (np.repeat(np.arange(out_len), p), idx.reshape(-1)), w.reshape(-1))
+    return mat
+
+
+def _matrix_torch(in_len: int, out_len: int, method: str, align_corners: bool) -> np.ndarray:
+    """torch ``F.interpolate`` row-weight matrix (no antialias, clamp edges)."""
+    kernel, kernel_width = _kernel_for(method, "torch" if align_corners else "torch_half")
+    taps = int(kernel_width)  # 4 for cubic, 2 for linear
+    i = np.arange(out_len, dtype=np.float64)
+    if align_corners:
+        src = i * ((in_len - 1) / (out_len - 1)) if out_len > 1 else np.zeros_like(i)
+    else:
+        src = (i + 0.5) * (in_len / out_len) - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    offs = np.arange(taps) - (taps // 2 - 1)  # cubic: [-1, 0, 1, 2]
+    cols = base[:, None] + offs[None, :]
+    w = kernel(frac[:, None] - offs[None, :].astype(np.float64))
+    idx = np.clip(cols, 0, in_len - 1)
+    mat = np.zeros((out_len, in_len), dtype=np.float64)
+    np.add.at(mat, (np.repeat(np.arange(out_len), taps), idx.reshape(-1)), w.reshape(-1))
+    return mat
+
+
+def _matrix_pil(in_len: int, out_len: int, method: str) -> np.ndarray:
+    """PIL (torchvision ``Resize``) row-weight matrix: antialiased, clipped."""
+    kernel, kernel_width = _kernel_for(method, "pil")
+    support = kernel_width / 2.0  # 2.0 cubic, 1.0 linear
+    scale = in_len / out_len
+    filterscale = max(scale, 1.0)
+    supp = support * filterscale
+    mat = np.zeros((out_len, in_len), dtype=np.float64)
+    for i in range(out_len):
+        center = (i + 0.5) * scale
+        lo = max(int(center - supp + 0.5), 0)
+        hi = min(int(center + supp + 0.5), in_len)
+        j = np.arange(lo, hi, dtype=np.float64)
+        w = kernel((j + 0.5 - center) / filterscale)
+        s = w.sum()
+        if s != 0.0:
+            w = w / s
+        mat[i, lo:hi] = w
+    return mat
+
+
+@functools.lru_cache(maxsize=256)
+def resize_matrix(
+    in_len: int,
+    out_len: int,
+    variant: str = "matlab",
+    method: str = "bicubic",
+    dtype: str = "float32",
+) -> np.ndarray:
+    """Dense ``(out_len, in_len)`` resize matrix for one axis (cached)."""
+    if variant == "matlab":
+        m = _matrix_matlab(in_len, out_len, method)
+    elif variant == "torch":
+        m = _matrix_torch(in_len, out_len, method, align_corners=True)
+    elif variant == "torch_half":
+        m = _matrix_torch(in_len, out_len, method, align_corners=False)
+    elif variant == "pil":
+        m = _matrix_pil(in_len, out_len, method)
+    else:
+        raise ValueError(f"unknown resize variant {variant!r}")
+    return m.astype(dtype)
+
+
+def resize(
+    x: jnp.ndarray,
+    out_hw: tuple[int, int],
+    variant: str = "matlab",
+    method: str = "bicubic",
+) -> jnp.ndarray:
+    """Resize NHWC (or HWC / HW) ``x`` to ``out_hw`` via two MXU matmuls.
+
+    Compute runs in float32 regardless of input dtype (resize weights are
+    small-magnitude and precision-sensitive); output keeps float32.
+    """
+    squeeze = []
+    if x.ndim == 2:
+        x = x[None, :, :, None]
+        squeeze = [0, -1]
+    elif x.ndim == 3:
+        x = x[None]
+        squeeze = [0]
+    n, h, w, c = x.shape
+    out_h, out_w = out_hw
+    xf = x.astype(jnp.float32)
+    # Apply along the smaller-scale axis first (mirrors MATLAB's dim order
+    # only in effect, not in numerics — separable maps commute exactly).
+    mh = jnp.asarray(resize_matrix(h, out_h, variant, method))
+    mw = jnp.asarray(resize_matrix(w, out_w, variant, method))
+    y = jnp.einsum("oh,nhwc->nowc", mh, xf)
+    y = jnp.einsum("pw,nowc->nopc", mw, y)
+    for ax in squeeze:
+        y = jnp.squeeze(y, axis=ax)
+    return y
+
+
+def imresize(
+    img: np.ndarray,
+    scale: float | None = None,
+    method: str = "bicubic",
+    sizes: tuple[int, int] | None = None,
+) -> np.ndarray:
+    """NumPy-facing MATLAB ``imresize`` equivalent (API of reference
+    ``model.py:1268-1306``): HW or HWC array in, same dtype semantics out
+    (uint8 in → rounded/clipped uint8 out; float in → float64 out).
+    """
+    if scale is not None:
+        out_h = int(math.ceil(scale * img.shape[0]))
+        out_w = int(math.ceil(scale * img.shape[1]))
+    elif sizes is not None:
+        out_h, out_w = int(sizes[0]), int(sizes[1])
+    else:
+        raise ValueError("either scale or sizes must be given")
+    mh = resize_matrix(img.shape[0], out_h, "matlab", method, dtype="float64")
+    mw = resize_matrix(img.shape[1], out_w, "matlab", method, dtype="float64")
+    x = img.astype(np.float64)
+    if x.ndim == 2:
+        y = mh @ x @ mw.T
+    else:
+        y = np.einsum("oh,hwc->owc", mh, x)
+        y = np.einsum("pw,owc->opc", mw, y)
+    if img.dtype == np.uint8:
+        return np.around(np.clip(y, 0, 255)).astype(np.uint8)
+    return y
+
+
+def nearest_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbour NHWC upsample (torch ``interpolate(mode='nearest')``
+    as used by the RRDB up-path, reference ``model.py:738-742``)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, factor, w, factor, c))
+    return x.reshape(n, h * factor, w * factor, c)

@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware by faking eight
+host devices (the TPU-native analog of a fake backend — SURVEY.md §4). These
+env vars must be set before the first ``import jax`` anywhere in the test
+session, which pytest guarantees by importing conftest first.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The image's site config pins jax_platforms to "axon,cpu" (the TPU tunnel),
+# which overrides the env var — force CPU explicitly for the test session.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
