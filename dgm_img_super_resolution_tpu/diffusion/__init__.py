@@ -1,0 +1,7 @@
+from dgm_img_super_resolution_tpu.diffusion.schedule import (  # noqa: F401
+    Schedule,
+    cosine_beta_schedule,
+    get_beta_schedule,
+    make_schedule,
+)
+from dgm_img_super_resolution_tpu.diffusion.gaussian import GaussianDiffusion  # noqa: F401

@@ -1,0 +1,14 @@
+from dgm_img_super_resolution_tpu.models.layers import (  # noqa: F401
+    Block,
+    ConvTranspose2dTorch,
+    Downsample,
+    LinearAttention,
+    Mish,
+    ResnetBlock,
+    Rezero,
+    Upsample,
+    mish,
+    sinusoidal_pos_emb,
+)
+from dgm_img_super_resolution_tpu.models.rrdb import RRDB, RRDBNet, ResidualDenseBlock5C  # noqa: F401
+from dgm_img_super_resolution_tpu.models.unet import Unet  # noqa: F401

@@ -1,0 +1,99 @@
+"""Model factory: Hparams → SRDiff model stack.
+
+Mirrors how the reference wires its stack (``st_app1.py:1616-1638``: Unet +
+RRDBNet from config keys → GaussianDiffusion), with the full models — the
+reference app's placeholder single-conv dummies (``st_app1.py:1606-1628``)
+are a documented defect we do not replicate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.diffusion.gaussian import GaussianDiffusion
+from dgm_img_super_resolution_tpu.diffusion.schedule import make_schedule
+from dgm_img_super_resolution_tpu.models.rrdb import RRDBNet
+from dgm_img_super_resolution_tpu.models.unet import Unet
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def compute_dtype(hp: Hparams):
+    return _DTYPES[hp.get("compute_dtype", "float32")]
+
+
+def build_unet(hp: Hparams, dtype=None) -> Unet:
+    return Unet(
+        dim=hp["hidden_size"],
+        out_dim=3,
+        dim_mults=hp.unet_dim_mults_tuple,
+        cond_dim=hp["rrdb_num_feat"],
+        rrdb_num_block=hp["rrdb_num_block"],
+        sr_scale=hp["sr_scale"],
+        use_attn=hp["use_attn"],
+        res=hp["res"],
+        up_input=hp["up_input"],
+        groups=hp["gn_groups"],
+        dtype=dtype or compute_dtype(hp),
+    )
+
+
+def build_rrdb(hp: Hparams, dtype=None) -> RRDBNet:
+    # gc = nf // 2 is the upstream SRDiff instantiation convention.
+    return RRDBNet(
+        out_nc=3,
+        nf=hp["rrdb_num_feat"],
+        nb=hp["rrdb_num_block"],
+        gc=hp["rrdb_num_feat"] // 2,
+        sr_scale=hp["sr_scale"],
+        dtype=dtype or compute_dtype(hp),
+    )
+
+
+def build_srdiff(hp: Hparams, dtype=None) -> GaussianDiffusion:
+    schedule = make_schedule(
+        timesteps=hp["timesteps"],
+        beta_schedule=hp["beta_schedule"],
+        beta_s=hp["beta_s"],
+        beta_start=hp.get("beta_start", 1e-4),
+        beta_end=hp["beta_end"],
+        res=hp["res"],
+    )
+    return GaussianDiffusion(
+        denoise_fn=build_unet(hp, dtype),
+        rrdb_net=build_rrdb(hp, dtype) if hp["use_rrdb"] else None,
+        schedule=schedule,
+        loss_type=hp["loss_type"],
+        res=hp["res"],
+        res_rescale=hp["res_rescale"],
+        clip_input=hp["clip_input"],
+        use_rrdb=hp["use_rrdb"],
+        fix_rrdb=hp["fix_rrdb"],
+        aux_l1_loss=hp["aux_l1_loss"],
+        aux_ssim_loss=hp["aux_ssim_loss"],
+        aux_percep_loss=hp["aux_percep_loss"],
+    )
+
+
+def init_srdiff_params(diffusion: GaussianDiffusion, rng, hp: Hparams, hr_size: int = 160):
+    """Initialise {'denoise_fn': ..., 'rrdb': ...} param pytrees on tiny/real
+    shapes (shapes don't matter — all layers are convs/denses)."""
+    scale = hp["sr_scale"]
+    lr_size = hr_size // scale
+    k1, k2 = jax.random.split(rng)
+    x_hr = jnp.zeros((1, hr_size, hr_size, 3), jnp.float32)
+    x_lr = jnp.zeros((1, lr_size, lr_size, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    params = {}
+    if diffusion.use_rrdb:
+        rrdb_vars = diffusion.rrdb.init(k1, x_lr, True)
+        params["rrdb"] = rrdb_vars["params"]
+        _, feas = diffusion.rrdb.apply(rrdb_vars, x_lr, True)
+        cond = jnp.concatenate(feas[2::3], axis=-1)
+    else:
+        cond = x_lr
+    unet_vars = diffusion.denoise_fn.init(k2, x_hr, t, cond, x_hr)
+    params["denoise_fn"] = unet_vars["params"]
+    return params

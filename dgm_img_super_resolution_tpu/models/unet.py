@@ -1,0 +1,113 @@
+"""SRDiff conditional noise-prediction UNet (NHWC Flax).
+
+Capability twin of the reference UNet (``srdiff/model.py:752-847``), with the
+exact topology required for upstream-weight parity:
+
+- dims ladder ``[3, dim·m for m in dim_mults]`` with dim=64, mults (1,2,3,4);
+- 4 down stages (2×ResnetBlock + Downsample except last); RRDB condition
+  (and optional LR-upsample projection) added after down stage 0 only;
+- mid block1 / optional linear-attention / block2;
+- 3 up stages with skip-concat (the reference pops only 3 of 4 saved skips —
+  topology preserved for weight import);
+- final reflect-pad Block + 1×1 conv.
+
+The condition is the channel-concat of every 3rd RRDB feature
+(``cond[2::3]``, reference ``model.py:825``) projected to HR resolution by a
+ConvTranspose(k=2·scale, s=scale, p=scale/2). Callers concatenate the
+features once, outside the sampling scan.
+
+TPU notes: groups=0 (no norm) keeps every stage a pure conv+Mish chain that
+XLA fuses; time embedding is two small Dense layers per step. The whole
+forward is shape-static so the 100-step sampler scans over it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgm_img_super_resolution_tpu.models.layers import (
+    Block,
+    ConvTranspose2dTorch,
+    Downsample,
+    LinearAttention,
+    ResnetBlock,
+    Rezero,
+    Upsample,
+    mish,
+    reflect_pad,
+    sinusoidal_pos_emb,
+)
+
+Dtype = Any
+
+
+class Unet(nn.Module):
+    dim: int = 64
+    out_dim: int = 3
+    dim_mults: Sequence[int] = (1, 2, 3, 4)
+    cond_dim: int = 32
+    rrdb_num_block: int = 8
+    sr_scale: int = 4
+    use_attn: bool = False
+    res: bool = True
+    up_input: bool = False
+    groups: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time, cond, img_lr_up=None):
+        """x: (N,H,W,3) noisy residual; time: (N,); cond: (N,H/s,W/s,C_cond)
+        channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3)."""
+        dims = [3] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        t = sinusoidal_pos_emb(time, self.dim).astype(self.dtype)
+        t = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_0")(t)
+        t = nn.Dense(self.dim, dtype=self.dtype, name="mlp_1")(mish(t))
+
+        cond_proj = ConvTranspose2dTorch(
+            self.dim, self.sr_scale * 2, self.sr_scale, self.sr_scale // 2,
+            dtype=self.dtype, name="cond_proj",
+        )(cond)
+
+        h = []
+        for i, (_, dim_out) in enumerate(in_out):
+            is_last = i >= num_res - 1
+            x = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")(x, t)
+            x = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")(x, t)
+            if i == 0:
+                x = x + cond_proj
+                if self.res and self.up_input:
+                    up_proj = nn.Conv(
+                        self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
+                    )(reflect_pad(img_lr_up, 1))
+                    x = x + up_proj
+            h.append(x)
+            if not is_last:
+                x = Downsample(self.dtype, name=f"down_{i}_downsample")(x)
+
+        x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block1")(x, t)
+        if self.use_attn:
+            attn = LinearAttention(dtype=self.dtype, name="mid_attn")
+            x = x + Rezero(attn, name="mid_attn_rezero")(x)
+        x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block2")(x, t)
+
+        # up stages mirror reversed(in_out[1:]) — 3 stages, all with Upsample
+        # (the reference's is_last condition never triggers there).
+        for i, (dim_in, _) in enumerate(reversed(in_out[1:])):
+            x = jnp.concatenate([x, h.pop()], axis=-1)
+            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")(x, t)
+            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res2")(x, t)
+            x = Upsample(self.dtype, name=f"up_{i}_upsample")(x)
+
+        x = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(x)
+        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+
+    @staticmethod
+    def select_cond_features(feas: list[jnp.ndarray]) -> jnp.ndarray:
+        """Concat every 3rd RRDB feature (reference ``model.py:825``)."""
+        return jnp.concatenate(feas[2::3], axis=-1)

@@ -1,0 +1,172 @@
+"""Unit tests for schedules and the diffusion process against closed-form
+NumPy, plus end-to-end sampler determinism on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.diffusion.schedule import (
+    cosine_beta_schedule,
+    get_beta_schedule,
+    make_schedule,
+)
+from dgm_img_super_resolution_tpu.models.factory import build_srdiff, init_srdiff_params
+
+TINY = Hparams(
+    compute_dtype="float32",
+    hidden_size=8,
+    rrdb_num_block=3,
+    rrdb_num_feat=8,
+    timesteps=8,
+)
+
+
+def test_beta_schedule_variants_closed_form():
+    T = 10
+    lin = get_beta_schedule(T, "linear", 1e-4, 2e-2)
+    np.testing.assert_allclose(lin, np.linspace(1e-4, 2e-2, T))
+    quad = get_beta_schedule(T, "quad", 1e-4, 2e-2)
+    np.testing.assert_allclose(quad, np.linspace(1e-2, np.sqrt(2e-2), T) ** 2)
+    const = get_beta_schedule(T, "const", beta_end=0.5)
+    np.testing.assert_allclose(const, 0.5)
+    jsd = get_beta_schedule(T, "jsd")
+    np.testing.assert_allclose(jsd, 1.0 / np.linspace(T, 1, T))
+    w10 = get_beta_schedule(T, "warmup10", 1e-4, 2e-2)
+    assert w10[0] == 1e-4 and np.all(w10[1:] == 2e-2)
+    w50 = get_beta_schedule(T, "warmup50", 1e-4, 2e-2)
+    np.testing.assert_allclose(w50[:5], np.linspace(1e-4, 2e-2, 5))
+
+
+def test_cosine_schedule_nichol_dhariwal():
+    T, s = 100, 0.008
+    betas = cosine_beta_schedule(T, s)
+    steps = T + 1
+    x = np.linspace(0, steps, steps)
+    acp = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    acp = acp / acp[0]
+    want = np.clip(1 - acp[1:] / acp[:-1], 0, 0.999)
+    np.testing.assert_allclose(betas, want)
+    assert betas.shape == (T,)
+
+
+def test_linear_res_mode_forces_last_beta():
+    s = make_schedule(10, "linear", res=True)
+    assert float(s.betas[-1]) == pytest.approx(0.999)
+    s2 = make_schedule(10, "linear", res=False)
+    assert float(s2.betas[-1]) == pytest.approx(2e-2)
+
+
+def test_schedule_buffers_closed_form():
+    s = make_schedule(100, "cosine", 0.008)
+    # recompute in float64 from the formula (buffers are stored fp32)
+    betas = cosine_beta_schedule(100, 0.008)
+    acp = np.cumprod(1 - betas)
+    np.testing.assert_allclose(np.asarray(s.alphas_cumprod), acp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.alphas_cumprod_prev), np.append(1.0, acp[:-1]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s.sqrt_recip_alphas_cumprod), np.sqrt(1 / acp), rtol=1e-5)
+    post_var = betas * (1 - np.append(1.0, acp[:-1])) / (1 - acp)
+    np.testing.assert_allclose(np.asarray(s.posterior_variance), post_var, rtol=1e-5)
+    # posterior mean coefs sum: c1·x0 + c2·xt is a convex-ish combination
+    np.testing.assert_allclose(
+        np.asarray(s.posterior_mean_coef1),
+        betas * np.sqrt(np.append(1.0, acp[:-1])) / (1 - acp),
+        rtol=1e-5,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_diffusion():
+    d = build_srdiff(TINY)
+    params = init_srdiff_params(d, jax.random.PRNGKey(0), TINY, hr_size=16)
+    return d, params
+
+
+def test_q_sample_t_minus_one_returns_x_start(tiny_diffusion):
+    d, _ = tiny_diffusion
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 3))
+    t = jnp.array([-1, 3])
+    out = d.q_sample(x, t, noise)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]), atol=0)
+    # and the t>=0 row follows the closed form
+    want = (
+        float(d.schedule.sqrt_alphas_cumprod[3]) * np.asarray(x[1])
+        + float(d.schedule.sqrt_one_minus_alphas_cumprod[3]) * np.asarray(noise[1])
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), want, rtol=1e-5)
+
+
+def test_res_roundtrip(tiny_diffusion):
+    d, _ = tiny_diffusion
+    up = jnp.zeros((1, 8, 8, 3))
+    hr = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3)) * 0.2, -0.4, 0.4)
+    res = d.img2res(hr, up)
+    back = d.res2img(res, up)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(hr), atol=1e-6)
+
+
+def test_training_losses_finite_and_deterministic(tiny_diffusion):
+    d, params = tiny_diffusion
+    rng = jax.random.PRNGKey(42)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 2 - 1
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3)) * 2 - 1
+    losses, imgs, t = d.training_losses(params, hr, lr, lr_up, rng)
+    assert set(losses) == {"q"}  # fix_rrdb ⇒ no aux losses
+    assert np.isfinite(float(losses["q"]))
+    losses2, _, _ = d.training_losses(params, hr, lr, lr_up, rng)
+    assert float(losses["q"]) == float(losses2["q"])
+    assert imgs[0].shape == hr.shape
+
+
+def test_sample_jitted_deterministic_and_shaped(tiny_diffusion):
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    fn = jax.jit(lambda p, a, b, k: d.sample(p, a, b, k))
+    img1, rrdb_out = fn(params, lr, lr_up, jax.random.PRNGKey(7))
+    img2, _ = fn(params, lr, lr_up, jax.random.PRNGKey(7))
+    img3, _ = fn(params, lr, lr_up, jax.random.PRNGKey(8))
+    assert img1.shape == (1, 16, 16, 3)
+    assert rrdb_out.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=0)
+    assert np.abs(np.asarray(img1) - np.asarray(img3)).max() > 1e-4
+    # res-mode output stays within [-1,1] of the upsampled base ±1/res_rescale
+    assert np.isfinite(np.asarray(img1)).all()
+
+
+def test_save_intermediate_stacks_all_steps(tiny_diffusion):
+    d, params = tiny_diffusion
+    lr = jnp.zeros((1, 4, 4, 3))
+    lr_up = jnp.zeros((1, 16, 16, 3))
+    img, rrdb_out, (inters, x0s) = d.sample(
+        params, lr, lr_up, jax.random.PRNGKey(0), save_intermediate=True
+    )
+    assert inters.shape == (TINY["timesteps"], 1, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(inters[-1]), np.asarray(img), atol=0)
+
+
+def test_ddim_sample_runs_and_is_deterministic_at_eta0(tiny_diffusion):
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    fn = jax.jit(lambda p, a, b, k: d.ddim_sample(p, a, b, k, num_steps=4))
+    i1, _ = fn(params, lr, lr_up, jax.random.PRNGKey(0))
+    i2, _ = fn(params, lr, lr_up, jax.random.PRNGKey(1))
+    # η=0: the only randomness is the initial draw
+    assert i1.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(i1)).all()
+    assert np.abs(np.asarray(i1) - np.asarray(i2)).max() > 0
+
+
+def test_interpolate_runs(tiny_diffusion):
+    d, params = tiny_diffusion
+    x1 = jnp.zeros((1, 16, 16, 3))
+    x2 = jnp.ones((1, 16, 16, 3)) * 0.5
+    lr = jnp.zeros((1, 4, 4, 3))
+    lr_up = jnp.zeros((1, 16, 16, 3))
+    out = d.interpolate(params, x1, x2, lr, lr_up, jax.random.PRNGKey(0), t=4, lam=0.5)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,132 @@
+"""Shape/parity tests for the SRDiff model stack.
+
+Primitive-level parity is checked against torch (available, CPU) — reflection
+padding, transposed conv output-size conventions, Mish, LeakyReLU — so the
+checkpoint importer can rely on exact layer semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.models.factory import (
+    build_rrdb,
+    build_srdiff,
+    build_unet,
+    init_srdiff_params,
+)
+from dgm_img_super_resolution_tpu.models.layers import (
+    ConvTranspose2dTorch,
+    mish,
+    reflect_pad,
+    sinusoidal_pos_emb,
+)
+
+HP = Hparams(compute_dtype="float32")
+
+
+def test_mish_matches_torch(rng):
+    x = rng.standard_normal((4, 7)).astype(np.float32)
+    want = F.mish(torch.from_numpy(x)).numpy()
+    got = np.asarray(mish(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_reflect_pad_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 6, 3)).astype(np.float32)
+    want = torch.nn.ReflectionPad2d(1)(torch.from_numpy(x).permute(0, 3, 1, 2))
+    got = np.asarray(reflect_pad(jnp.asarray(x), 1))
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=0)
+
+
+@pytest.mark.parametrize("k,s,p,h", [(4, 2, 1, 8), (8, 4, 2, 16), (3, 1, 1, 9)])
+def test_conv_transpose_matches_torch(k, s, p, h, rng):
+    """ConvTranspose2dTorch == torch ConvTranspose2d under the weight map
+    K_hwio[h,w,i,o] = W_torch[i,o,K-1-h,K-1-w]."""
+    cin, cout = 5, 7
+    x = rng.standard_normal((2, h, h, cin)).astype(np.float32)
+    w_t = rng.standard_normal((cin, cout, k, k)).astype(np.float32) * 0.1
+    b_t = rng.standard_normal((cout,)).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w_t),
+        torch.from_numpy(b_t),
+        stride=s,
+        padding=p,
+    ).permute(0, 2, 3, 1).numpy()
+
+    mod = ConvTranspose2dTorch(cout, k, s, p)
+    kernel = jnp.asarray(np.transpose(w_t[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+    params = {"params": {"kernel": kernel, "bias": jnp.asarray(b_t)}}
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, (h - 1) * s - 2 * p + k, (h - 1) * s - 2 * p + k, cout)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sinusoidal_pos_emb_reference_spacing():
+    t = jnp.array([0.0, 1.0, 50.0])
+    emb = sinusoidal_pos_emb(t, 64)
+    assert emb.shape == (3, 64)
+    # t=0: sin part 0, cos part 1
+    np.testing.assert_allclose(np.asarray(emb[0, :32]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(emb[0, 32:]), 1.0, atol=1e-7)
+    # frequency spacing: emb_k = exp(-k*log(10000)/(half-1))
+    freqs = np.exp(np.arange(32) * -(np.log(10000.0) / 31))
+    np.testing.assert_allclose(np.asarray(emb[1, :32]), np.sin(freqs), atol=1e-6)
+
+
+def test_rrdb_shapes_and_cond_features():
+    rrdb = build_rrdb(HP)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = rrdb.init(jax.random.PRNGKey(0), x, True)
+    out, feas = rrdb.apply(variables, x, True)
+    assert out.shape == (1, 64, 64, 3)  # ×4 upsample
+    assert len(feas) == 9  # 8 RRDB features + fused trunk
+    assert all(f.shape == (1, 16, 16, 32) for f in feas)
+    # output range is [-1, 1] by construction
+    assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
+
+
+def test_unet_shapes():
+    unet = build_unet(HP)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.array([5, 50])
+    cond = jnp.zeros((2, 8, 8, 96))  # 3×32-channel selected RRDB features
+    variables = unet.init(jax.random.PRNGKey(0), x, t, cond, x)
+    y = unet.apply(variables, x, t, cond, x)
+    assert y.shape == (2, 32, 32, 3)
+
+
+def test_unet_param_structure_matches_reference_topology():
+    unet = build_unet(HP)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = unet.init(jax.random.PRNGKey(0), x, jnp.array([0]), jnp.zeros((1, 8, 8, 96)), x)
+    p = variables["params"]
+    # 4 down stages, 3 up stages, 2 mid blocks, cond_proj, final
+    for i in range(4):
+        assert f"down_{i}_res1" in p and f"down_{i}_res2" in p
+    for i in range(3):
+        assert f"down_{i}_downsample" in p
+    assert "down_3_downsample" not in p
+    for i in range(3):
+        assert f"up_{i}_res1" in p and f"up_{i}_upsample" in p
+    assert "mid_block1" in p and "mid_block2" in p and "cond_proj" in p
+    # cond_proj: k=8, s=4, p=2 transposed conv from 96 → 64 channels
+    assert p["cond_proj"]["kernel"].shape == (8, 8, 96, 64)
+    # groups=0 ⇒ no norm layers anywhere
+    flat = jax.tree_util.tree_leaves_with_path(p)
+    assert not any("norm" in jax.tree_util.keystr(path) for path, _ in flat)
+
+
+def test_srdiff_param_count_reasonable():
+    diffusion = build_srdiff(HP)
+    params = init_srdiff_params(diffusion, jax.random.PRNGKey(0), HP, hr_size=32)
+    n_unet = sum(x.size for x in jax.tree_util.tree_leaves(params["denoise_fn"]))
+    n_rrdb = sum(x.size for x in jax.tree_util.tree_leaves(params["rrdb"]))
+    # Upstream SRDiff: UNet ≈ 11.8M params, RRDB(nf=32, nb=8, gc=16) ≈ 1.5M.
+    assert 10e6 < n_unet < 14e6, n_unet
+    assert 1e6 < n_rrdb < 2e6, n_rrdb
