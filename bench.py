@@ -1,0 +1,60 @@
+"""Benchmark: SRDiff ×4 super-resolution throughput on TPU.
+
+Measures the reference's headline workload (SRDiff ×4 upscale with the full
+T=100 ancestral DDPM sampler — reference README.md:61 reports ~15 s/image on
+CPU, i.e. 0.0667 upscales/sec) at 512×512 output resolution, end-to-end:
+bicubic ×4 upsample + RRDB encoder + 100-step scan-compiled sampler, bf16
+activations.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_UPSCALES_PER_SEC = 1.0 / 15.0  # reference: ~15 s per image (CPU)
+
+
+def main() -> None:
+    import jax
+
+    from dgm_img_super_resolution_tpu.core.config import Hparams
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    hp = Hparams(compute_dtype="bfloat16")
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "8"))
+    lr_size = 128  # → 512×512 output at ×4
+
+    pipe = SRDiffPipeline(hp)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (batch, lr_size, lr_size, 3), dtype=np.uint8)
+
+    # warmup (compiles the full sampler scan)
+    out = pipe.upscale_batch(imgs, jax.random.PRNGKey(0))
+    assert out.shape == (batch, 512, 512, 3), out.shape
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipe.upscale_batch(imgs, jax.random.PRNGKey(i))
+    dt = time.perf_counter() - t0
+    upscales_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "srdiff_x4_512_upscales_per_sec_per_chip",
+                "value": round(upscales_per_sec, 4),
+                "unit": "images/sec",
+                "vs_baseline": round(upscales_per_sec / BASELINE_UPSCALES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Checkpoint IO (Orbax) with the reference's retention/schema semantics.
+
+Realises the surface of reference ``model.py:1405-1496``: step-indexed
+checkpoints named ``model_ckpt_steps_<N>`` in a work dir, newest-first
+discovery (with the reference's missing-``glob``-import defect fixed, not
+replicated), keep-last-K pruning, and save/load of
+``{global_step, optimizer_states, state_dict}``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"model_ckpt_steps_(\d+)$")
+
+
+def get_all_ckpts(work_dir: str, steps: int | None = None) -> list[str]:
+    """Checkpoint dirs sorted by step, newest first."""
+    if steps is not None:
+        return [os.path.join(work_dir, f"model_ckpt_steps_{steps}")]
+    if not os.path.isdir(work_dir):
+        return []
+    found = []
+    for name in os.listdir(work_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            found.append((int(m.group(1)), os.path.join(work_dir, name)))
+    return [p for _, p in sorted(found, reverse=True)]
+
+
+def get_last_checkpoint(
+    work_dir: str, steps: int | None = None, target: Any = None
+) -> tuple[Any, str | None]:
+    paths = get_all_ckpts(work_dir, steps)
+    for path in paths:
+        ckpt = _restore(path, target)
+        if ckpt is not None:
+            return ckpt, path
+    return None, None
+
+
+def _restore(path: str, target: Any = None):
+    """Restore; pass ``target`` to preserve container types (e.g. the
+    namedtuples inside optax states) — without it Orbax returns plain dicts."""
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path), target)
+    except Exception:
+        return None
+
+
+def save_checkpoint(state: Any, work_dir: str, global_step: int, num_ckpt_keep: int = 100) -> str:
+    """Save a pytree (e.g. ``{"params": ..., "opt_state": ..., "global_step"}``)
+    and prune checkpoints beyond ``num_ckpt_keep`` (reference
+    ``model.py:1439-1450``)."""
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, f"model_ckpt_steps_{global_step}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state)
+    for old in get_all_ckpts(work_dir)[num_ckpt_keep:]:
+        shutil.rmtree(old, ignore_errors=True)
+        print(f"| Delete ckpt: {os.path.basename(old)}")
+    return path
+
+
+def load_checkpoint(work_dir: str, steps: int | None = None, target: Any = None) -> tuple[Any, int]:
+    """Restore the newest (or a specific-step) checkpoint → ``(state, step)``.
+    Returns ``(None, 0)`` when none exists (fresh run)."""
+    ckpt, path = get_last_checkpoint(work_dir, steps, target)
+    if ckpt is None:
+        return None, 0
+    m = _CKPT_RE.search(path or "")
+    return ckpt, int(m.group(1)) if m else 0

@@ -1,0 +1,106 @@
+"""End-to-end SRDiff inference pipeline.
+
+Equivalent of the reference's ``model_inference`` entry point
+(``st_app1.py:1661-1686``): image in → preprocess → diffusion sample →
+image out, except everything from the bicubic ×4 upsample through the final
+residual add-back runs inside **one jitted program per input shape** on TPU.
+
+Differences from the reference, by design (SURVEY.md §2.7):
+
+- the *full* RRDB/UNet models run (the reference app substitutes single-conv
+  placeholders, ``st_app1.py:1606-1628``);
+- preprocessing uses the model stack's self-consistent [-1,1] range, not the
+  app's mismatched ImageNet normalisation (``st_app1.py:1583-1591``);
+- batched inputs shard over the ``dp`` mesh axis; large images can be split
+  into patches and sharded too (``upscale_large``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.models.factory import build_srdiff, init_srdiff_params
+from dgm_img_super_resolution_tpu.ops.image import extract_patches, merge_patches, uint8_to_pm1
+from dgm_img_super_resolution_tpu.ops.resize import resize
+from dgm_img_super_resolution_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+class SRDiffPipeline:
+    def __init__(
+        self,
+        hp: Hparams | None = None,
+        params: Any = None,
+        ckpt_path: str | None = None,
+        mesh=None,
+        rng: jax.Array | None = None,
+    ):
+        self.hp = hp or Hparams()
+        self.diffusion = build_srdiff(self.hp)
+        self.mesh = mesh if mesh is not None else make_mesh(self.hp.get("mesh_shape", ""))
+        if params is None and ckpt_path:
+            from dgm_img_super_resolution_tpu.ckpt.torch_import import import_srdiff_checkpoint
+
+            params, _ = import_srdiff_checkpoint(ckpt_path)
+        if params is None:
+            params = init_srdiff_params(
+                self.diffusion, rng if rng is not None else jax.random.PRNGKey(0), self.hp, hr_size=64
+            )
+        self.params = replicate(params, self.mesh)
+
+    # ----------------------------------------------------------- jitted core
+    @functools.lru_cache(maxsize=8)
+    def _sample_fn(self, lr_h: int, lr_w: int):
+        scale = self.hp["sr_scale"]
+        sampler = self.hp.get("sampler", "ddpm")
+        num_steps = self.hp.get("sample_timesteps", 0) or None
+
+        def run(params, img_lr, rng):
+            img_lr_up = resize(img_lr, (lr_h * scale, lr_w * scale), variant="torch")
+            if sampler == "ddim":
+                img, rrdb_out = self.diffusion.ddim_sample(
+                    params, img_lr, img_lr_up, rng, num_steps=num_steps,
+                    eta=self.hp.get("ddim_eta", 0.0),
+                )
+            else:
+                img, rrdb_out = self.diffusion.sample(params, img_lr, img_lr_up, rng)
+            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+        return jax.jit(run)
+
+    def upscale_batch(self, imgs, rng: jax.Array | None = None) -> np.ndarray:
+        """imgs: NHWC uint8 [0,255] or float [-1,1] LR batch → NHWC float
+        [0,1] SR batch at ×scale resolution."""
+        imgs = np.asarray(imgs)
+        x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
+        x = shard_batch(x, self.mesh)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        fn = self._sample_fn(x.shape[1], x.shape[2])
+        return np.asarray(fn(self.params, x, rng))
+
+    def upscale(self, image, rng: jax.Array | None = None) -> np.ndarray:
+        """Single HWC image → HWC float [0,1] SR image (the
+        ``model_inference`` surface)."""
+        return self.upscale_batch(np.asarray(image)[None], rng)[0]
+
+    def upscale_large(self, image, patch: int = 64, rng: jax.Array | None = None) -> np.ndarray:
+        """Patch-parallel SR for large LR images: split the LR grid into
+        ``patch``-sized tiles, shard tiles over the mesh as a batch, stitch the
+        SR tiles (the TPU-native version of the reference's crop-wise eval via
+        ``ImgMerger`` + ``test_crop_size``, ``model.py:108-145``)."""
+        img = np.asarray(image)
+        x = uint8_to_pm1(img) if img.dtype == np.uint8 else jnp.asarray(img, jnp.float32)
+        h, w = x.shape[:2]
+        ph = int(np.ceil(h / patch)) * patch
+        pw = int(np.ceil(w / patch)) * patch
+        x = jnp.pad(x[None], ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="reflect")
+        patches, grid = extract_patches(x, patch)
+        sr_patches = self.upscale_batch(np.asarray(patches), rng)
+        scale = self.hp["sr_scale"]
+        out = merge_patches(jnp.asarray(sr_patches), grid, n=1)
+        return np.asarray(out[0, : h * scale, : w * scale])

@@ -88,12 +88,16 @@ def init_srdiff_params(diffusion: GaussianDiffusion, rng, hp: Hparams, hr_size: 
     t = jnp.zeros((1,), jnp.int32)
     params = {}
     if diffusion.use_rrdb:
-        rrdb_vars = diffusion.rrdb.init(k1, x_lr, True)
+        # jit the init: eager init dispatches one op per conv (very slow on a
+        # tunneled TPU); under jit it's one compiled program.
+        rrdb_vars = jax.jit(diffusion.rrdb.init, static_argnums=2)(k1, x_lr, True)
         params["rrdb"] = rrdb_vars["params"]
-        _, feas = diffusion.rrdb.apply(rrdb_vars, x_lr, True)
-        cond = jnp.concatenate(feas[2::3], axis=-1)
+        # cond channels are static: feas has nb+1 maps of nf channels and the
+        # UNet consumes feas[2::3] (reference model.py:825)
+        n_sel = len(range(2, hp["rrdb_num_block"] + 1, 3))
+        cond = jnp.zeros((1, lr_size, lr_size, hp["rrdb_num_feat"] * n_sel), jnp.float32)
     else:
         cond = x_lr
-    unet_vars = diffusion.denoise_fn.init(k2, x_hr, t, cond, x_hr)
+    unet_vars = jax.jit(diffusion.denoise_fn.init)(k2, x_hr, t, cond, x_hr)
     params["denoise_fn"] = unet_vars["params"]
     return params

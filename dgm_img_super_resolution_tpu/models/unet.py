@@ -34,7 +34,6 @@ from dgm_img_super_resolution_tpu.models.layers import (
     Downsample,
     LinearAttention,
     ResnetBlock,
-    Rezero,
     Upsample,
     mish,
     reflect_pad,
@@ -92,8 +91,10 @@ class Unet(nn.Module):
 
         x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block1")(x, t)
         if self.use_attn:
-            attn = LinearAttention(dtype=self.dtype, name="mid_attn")
-            x = x + Rezero(attn, name="mid_attn_rezero")(x)
+            # Residual(Rezero(LinearAttention)) with the gate inlined:
+            # g initialises to 0 so the attention branch starts disabled.
+            g = self.param("mid_attn_g", nn.initializers.zeros, (1,))
+            x = x + LinearAttention(dtype=self.dtype, name="mid_attn")(x) * g
         x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block2")(x, t)
 
         # up stages mirror reversed(in_out[1:]) — 3 stages, all with Upsample

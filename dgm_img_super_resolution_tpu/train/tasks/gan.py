@@ -1,0 +1,198 @@
+"""Adversarial training tasks: simple GAN, DCGAN, WGAN-GP.
+
+Implements the training loops of the reference notebooks as jitted TPU steps:
+
+- BCE GAN/DCGAN (``notebooks/simple_gan.ipynb`` cell 22 / ``dcgan.ipynb``
+  cell 17): alternating discriminator/generator Adam updates with
+  ``disc_loss = ½(BCE(D(fake),0) + BCE(D(real),1))``, ``gen_loss =
+  BCE(D(fake),1)`` — computed on logits for stability.
+- WGAN-GP (``notebooks/wgan-gp.ipynb`` cells 25-39): ``crit_repeats`` critic
+  updates per generator update, gradient penalty ``λ·(‖∇_x̂ C(x̂)‖₂−1)²`` on
+  ε-mixed images. The grad-of-grad maps to nested ``jax.grad`` — no
+  ``retain_graph`` gymnastics.
+
+One whole (critic×K + generator) round is a single jitted step; BatchNorm
+batch_stats are threaded as explicit state. Batches shard over the dp mesh
+axis; GSPMD all-reduces gradients and batch statistics stay per-device local
+(standard DP BatchNorm behaviour).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.models.gan import (
+    Critic,
+    DCGANDiscriminator,
+    DCGANGenerator,
+    MLPDiscriminator,
+    MLPGenerator,
+)
+
+
+class GANState(struct.PyTreeNode):
+    gen_params: Any
+    gen_stats: Any
+    gen_opt: Any
+    disc_params: Any
+    disc_stats: Any
+    disc_opt: Any
+    step: jnp.ndarray
+
+
+def _bce_logits(logits, target_ones: bool):
+    labels = jnp.ones_like(logits) if target_ones else jnp.zeros_like(logits)
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+class GANTask:
+    """kind: 'gan' (MLP), 'dcgan', or 'wgan-gp'."""
+
+    def __init__(self, hp: Hparams, kind: str = "dcgan", img_shape=(64, 64, 1)):
+        self.hp = hp
+        self.kind = kind
+        self.img_shape = tuple(img_shape)
+        self.z_dim = int(hp.get("z_dim", 64 if kind == "gan" else 128))
+        if kind == "gan":
+            self.gen = MLPGenerator(z_dim=self.z_dim, out_dim=int(jnp.prod(jnp.array(img_shape))))
+            self.disc = MLPDiscriminator()
+        elif kind == "dcgan":
+            self.gen = DCGANGenerator(z_dim=self.z_dim, out_ch=img_shape[-1])
+            self.disc = DCGANDiscriminator()
+        elif kind == "wgan-gp":
+            self.gen = DCGANGenerator(z_dim=self.z_dim, out_ch=img_shape[-1])
+            self.disc = Critic()
+        else:
+            raise ValueError(kind)
+        self.crit_repeats = int(hp.get("crit_repeats", 5)) if kind == "wgan-gp" else 1
+        self.gp_lambda = float(hp.get("gp_lambda", 10.0))
+        # DCGAN convention: Adam(2e-4, β1=0.5) (dcgan.ipynb cell 13)
+        lr = float(hp.get("gan_lr", 2e-4 if kind != "gan" else 3e-4))
+        b1 = 0.5 if kind != "gan" else 0.9
+        self.gen_tx = optax.adam(lr, b1=b1, b2=0.999)
+        self.disc_tx = optax.adam(lr, b1=b1, b2=0.999)
+        self._step_fn = None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng: jax.Array) -> GANState:
+        kg, kd = jax.random.split(rng)
+        z = jnp.zeros((1, self.z_dim))
+        gen_vars = self.gen.init(kg, z, train=True)
+        fake = self._gen_apply(gen_vars.get("params"), gen_vars.get("batch_stats", {}), z, train=False)[0]
+        disc_vars = self.disc.init(kd, fake, train=True)
+        return GANState(
+            gen_params=gen_vars["params"],
+            gen_stats=gen_vars.get("batch_stats", {}),
+            gen_opt=self.gen_tx.init(gen_vars["params"]),
+            disc_params=disc_vars["params"],
+            disc_stats=disc_vars.get("batch_stats", {}),
+            disc_opt=self.disc_tx.init(disc_vars["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---------------------------------------------------------------- applys
+    def _gen_apply(self, params, stats, z, train: bool):
+        variables = {"params": params, "batch_stats": stats} if stats else {"params": params}
+        if train and stats:
+            out, updated = self.gen.apply(variables, z, train=True, mutable=["batch_stats"])
+            return out, updated["batch_stats"]
+        out = self.gen.apply(variables, z, train=False)
+        return out, stats
+
+    def _disc_apply(self, params, stats, x, train: bool):
+        variables = {"params": params, "batch_stats": stats} if stats else {"params": params}
+        if train and stats:
+            out, updated = self.disc.apply(variables, x, train=True, mutable=["batch_stats"])
+            return out, updated["batch_stats"]
+        out = self.disc.apply(variables, x, train=False)
+        return out, stats
+
+    def generate(self, state: GANState, rng: jax.Array, n: int) -> jnp.ndarray:
+        z = jax.random.normal(rng, (n, self.z_dim))
+        out, _ = self._gen_apply(state.gen_params, state.gen_stats, z, train=False)
+        if self.kind == "gan":
+            out = out.reshape(n, *self.img_shape)
+        return out
+
+    # ------------------------------------------------------------------ step
+    def _disc_update(self, state: GANState, real, rng):
+        n = real.shape[0]
+        z = jax.random.normal(jax.random.fold_in(rng, 0), (n, self.z_dim))
+        fake, gen_stats = self._gen_apply(state.gen_params, state.gen_stats, z, train=True)
+        fake = jax.lax.stop_gradient(fake)
+        if self.kind == "gan":
+            real_in = real.reshape(n, -1)
+        else:
+            real_in = real
+            fake = fake.reshape(real.shape)
+
+        def disc_loss_fn(dp):
+            if self.kind == "wgan-gp":
+                c_fake, stats = self._disc_apply(dp, state.disc_stats, fake, train=True)
+                c_real, stats = self._disc_apply(dp, stats, real_in, train=True)
+                eps = jax.random.uniform(jax.random.fold_in(rng, 1), (n, 1, 1, 1))
+                mixed = eps * real_in + (1.0 - eps) * fake
+
+                def critic_scalar(m):
+                    out, _ = self._disc_apply(dp, state.disc_stats, m, train=False)
+                    return out.sum()
+
+                grad_x = jax.grad(critic_scalar)(mixed)
+                gnorm = jnp.sqrt(jnp.sum(grad_x**2, axis=(1, 2, 3)) + 1e-12)
+                gp = jnp.mean((gnorm - 1.0) ** 2)
+                loss = c_fake.mean() - c_real.mean() + self.gp_lambda * gp
+                return loss, (stats, {"gp": gp, "w_dist": c_real.mean() - c_fake.mean()})
+            c_fake, stats = self._disc_apply(dp, state.disc_stats, fake, train=True)
+            c_real, stats = self._disc_apply(dp, stats, real_in, train=True)
+            loss = 0.5 * (_bce_logits(c_fake, False) + _bce_logits(c_real, True))
+            return loss, (stats, {})
+
+        (loss, (stats, extra)), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        updates, disc_opt = self.disc_tx.update(grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        state = state.replace(
+            disc_params=disc_params, disc_stats=stats, disc_opt=disc_opt, gen_stats=gen_stats
+        )
+        return state, loss, extra
+
+    def _gen_update(self, state: GANState, n: int, rng):
+        z = jax.random.normal(rng, (n, self.z_dim))
+
+        def gen_loss_fn(gp_):
+            fake, stats = self._gen_apply(gp_, state.gen_stats, z, train=True)
+            if self.kind == "gan":
+                pass
+            else:
+                fake = fake.reshape(n, *self.img_shape)
+            logits, _ = self._disc_apply(state.disc_params, state.disc_stats, fake, train=False)
+            if self.kind == "wgan-gp":
+                return -logits.mean(), stats
+            return _bce_logits(logits, True), stats
+
+        (loss, stats), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(state.gen_params)
+        updates, gen_opt = self.gen_tx.update(grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates)
+        return state.replace(gen_params=gen_params, gen_stats=stats, gen_opt=gen_opt), loss
+
+    def train_step(self, state: GANState, real: jnp.ndarray, rng: jax.Array):
+        """One full adversarial round (K critic/disc updates + 1 gen update)."""
+        metrics = {}
+        for k in range(self.crit_repeats):
+            state, d_loss, extra = self._disc_update(state, real, jax.random.fold_in(rng, k))
+            metrics.update({f"{m}": v for m, v in extra.items()})
+        state, g_loss = self._gen_update(state, real.shape[0], jax.random.fold_in(rng, 1000))
+        metrics.update(disc_loss=d_loss, gen_loss=g_loss)
+        return state.replace(step=state.step + 1), metrics
+
+    def jitted_step(self):
+        if self._step_fn is None:
+            self._step_fn = jax.jit(self.train_step, donate_argnums=(0,))
+        return self._step_fn

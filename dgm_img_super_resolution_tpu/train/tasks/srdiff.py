@@ -1,0 +1,53 @@
+"""SRDiff training task.
+
+The trainer the reference's config describes (``trainer_cls:
+tasks.srdiff_df2k.SRDiffDf2k``, reference ``srdiff/config.yaml:70`` — class
+not present in the repo): diffusion loss on the residual (plus aux RRDB
+losses when the encoder is trainable), driven by the generic
+:class:`~..trainer.Trainer`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dgm_img_super_resolution_tpu.core.config import Hparams
+from dgm_img_super_resolution_tpu.diffusion.gaussian import GaussianDiffusion
+from dgm_img_super_resolution_tpu.models.factory import build_srdiff, init_srdiff_params
+from dgm_img_super_resolution_tpu.train.trainer import Trainer
+
+
+class SRDiffTask:
+    """Bundles the diffusion model with its loss/init for the Trainer.
+
+    Batch format: ``{"hr": (N,H,W,3), "lr": (N,H/s,W/s,3), "lr_up": (N,H,W,3)}``
+    all in [-1, 1] (the DIV2K pipeline produces exactly this — ``data/div2k.py``).
+    """
+
+    def __init__(self, hp: Hparams, diffusion: GaussianDiffusion | None = None):
+        self.hp = hp
+        self.diffusion = diffusion or build_srdiff(hp)
+
+    def loss_fn(self, params: Any, batch: dict, rng: jax.Array):
+        losses, _, _ = self.diffusion.training_losses(
+            params, batch["hr"], batch["lr"], batch["lr_up"], rng
+        )
+        total = sum(losses.values())
+        metrics = {k: v for k, v in losses.items()}
+        return total, metrics
+
+    def init_params(self, rng: jax.Array):
+        return init_srdiff_params(
+            self.diffusion, rng, self.hp, hr_size=self.hp.get("patch_size", 160)
+        )
+
+    def make_trainer(self, mesh=None) -> Trainer:
+        return Trainer(
+            self.hp,
+            loss_fn=self.loss_fn,
+            init_params_fn=self.init_params,
+            mesh=mesh,
+        )
