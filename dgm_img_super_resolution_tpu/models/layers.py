@@ -204,3 +204,12 @@ class LinearAttention(nn.Module):
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def gn_groups(channels: int, preferred: int = 32) -> int:
+    """Largest group count ≤ ``preferred`` that divides ``channels`` (SD-style
+    GroupNorm(32) on full-size configs, gracefully smaller on tiny test nets)."""
+    g = min(preferred, channels)
+    while channels % g:
+        g -= 1
+    return g
