@@ -74,7 +74,7 @@ def test_dataloader_tuple_dataset():
 def _write_idx(path, arr):
     with gzip.open(path, "wb") as f:
         ndim = arr.ndim
-        f.write(struct.pack(">I", (0x08 << 0) | ndim))  # magic: ubyte type byte pattern
+        f.write(struct.pack(">I", (0x08 << 8) | ndim))  # magic: 0x00 0x00 dtype ndim
         f.write(struct.pack(f">{ndim}I", *arr.shape))
         f.write(arr.tobytes())
 

@@ -1,0 +1,127 @@
+"""Round-trip test for the diffusers-format SD importer: export tiny-config
+Flax params to a synthetic diffusers-style state dict (inverting the same
+rule table by construction), re-import, require exact tree equality. Catches
+missing rules, wrong leaf renames, and layout-transform errors."""
+
+import numpy as np
+import jax
+import pytest
+from flax import traverse_util
+
+from dgm_img_super_resolution_tpu.ckpt.sd_import import (
+    _conv_w_inv,
+    convert_component,
+)
+from dgm_img_super_resolution_tpu.models.sd.pipeline import StableDiffusionUpscalePipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    import jax.numpy as jnp
+
+    pipe = StableDiffusionUpscalePipeline(tiny=True, dtype=jnp.float32)
+    return pipe.params
+
+
+def _to_diffusers_key(component: str, path: tuple[str, ...], v: np.ndarray):
+    """Inverse of the importer's renaming for the tiny config's param paths."""
+    joined = "/".join(path)
+    leaf = path[-1]
+    # leaf rename back
+    if leaf == "kernel":
+        torch_leaf = "weight"
+        v = _conv_w_inv(v) if v.ndim == 4 else np.transpose(v, (1, 0))
+    elif leaf == "scale":
+        torch_leaf = "weight"
+    elif leaf == "bias":
+        torch_leaf = "bias"
+    elif joined == "token_embedding/embedding":
+        return "text_model.embeddings.token_embedding.weight", v
+    elif joined == "position_embedding":
+        return "text_model.embeddings.position_embedding.weight", v
+    else:
+        torch_leaf = leaf
+
+    import re
+
+    body = "/".join(path[:-1])
+    if component == "unet":
+        rules = [
+            (r"^conv_in$", "conv_in"),
+            (r"^conv_out$", "conv_out"),
+            (r"^norm_out$", "conv_norm_out"),
+            (r"^time_embed_0$", "time_embedding.linear_1"),
+            (r"^time_embed_1$", "time_embedding.linear_2"),
+            (r"^class_embed_0$", "class_embedding.linear_1"),
+            (r"^class_embed_1$", "class_embedding.linear_2"),
+            (r"^down_(\d+)_res_(\d+)(.*)$", r"down_blocks.\1.resnets.\2\3"),
+            (r"^down_(\d+)_attn_(\d+)(.*)$", r"down_blocks.\1.attentions.\2\3"),
+            (r"^down_(\d+)_downsample$", r"down_blocks.\1.downsamplers.0.conv"),
+            (r"^up_(\d+)_res_(\d+)(.*)$", r"up_blocks.\1.resnets.\2\3"),
+            (r"^up_(\d+)_attn_(\d+)(.*)$", r"up_blocks.\1.attentions.\2\3"),
+            (r"^up_(\d+)_upsample$", r"up_blocks.\1.upsamplers.0.conv"),
+            (r"^mid_res_(\d)(.*)$", r"mid_block.resnets.\1\2"),
+            (r"^mid_attn(.*)$", r"mid_block.attentions.0\1"),
+        ]
+        tail_rules = [
+            (r"/block_(\d+)", r".transformer_blocks.\1"),
+            (r"/attn(\d)/to_out", r".attn\1.to_out.0"),
+            (r"/attn(\d)/to_(q|k|v)", r".attn\1.to_\2"),
+            (r"/ff/proj_in", r".ff.net.0.proj"),
+            (r"/ff/proj_out", r".ff.net.2"),
+            (r"/", r"."),
+        ]
+    elif component == "vae":
+        rules = [
+            (r"^(encoder|decoder)/conv_in$", r"\1.conv_in"),
+            (r"^(encoder|decoder)/conv_out$", r"\1.conv_out"),
+            (r"^(encoder|decoder)/norm_out$", r"\1.conv_norm_out"),
+            (r"^encoder/down_(\d+)_res_(\d+)(.*)$", r"encoder.down_blocks.\1.resnets.\2\3"),
+            (r"^encoder/down_(\d+)_downsample$", r"encoder.down_blocks.\1.downsamplers.0.conv"),
+            (r"^decoder/up_(\d+)_res_(\d+)(.*)$", r"decoder.up_blocks.\1.resnets.\2\3"),
+            (r"^decoder/up_(\d+)_upsample$", r"decoder.up_blocks.\1.upsamplers.0.conv"),
+            (r"^(encoder|decoder)/mid_res_(\d)(.*)$", r"\1.mid_block.resnets.\2\3"),
+            (r"^(encoder|decoder)/mid_attn/norm$", r"\1.mid_block.attentions.0.group_norm"),
+            (r"^(encoder|decoder)/mid_attn/to_out$", r"\1.mid_block.attentions.0.to_out.0"),
+            (r"^(encoder|decoder)/mid_attn/to_(q|k|v)$", r"\1.mid_block.attentions.0.to_\2"),
+            (r"^quant_conv$", "quant_conv"),
+            (r"^post_quant_conv$", "post_quant_conv"),
+        ]
+        tail_rules = [(r"/", r".")]
+    else:  # text_encoder
+        rules = [
+            (r"^ln_final$", "text_model.final_layer_norm"),
+            (r"^block_(\d+)/attn/(q|k|v|out)_proj$", r"text_model.encoder.layers.\1.self_attn.\2_proj"),
+            (r"^block_(\d+)/ln(\d)$", r"text_model.encoder.layers.\1.layer_norm\2"),
+            (r"^block_(\d+)/mlp_fc$", r"text_model.encoder.layers.\1.mlp.fc1"),
+            (r"^block_(\d+)/mlp_proj$", r"text_model.encoder.layers.\1.mlp.fc2"),
+        ]
+        tail_rules = [(r"/", r".")]
+
+    key = None
+    for pat, repl in rules:
+        m = re.match(pat, body)
+        if m:
+            key = m.expand(repl)
+            break
+    assert key is not None, f"no inverse rule for {component}:{body}"
+    for pat, repl in tail_rules:
+        key = re.sub(pat, repl, key)
+    return f"{key}.{torch_leaf}", v
+
+
+@pytest.mark.parametrize("component", ["unet", "vae", "text_encoder"])
+def test_sd_import_roundtrip(component, tiny_params):
+    tree = tiny_params[component]
+    flat = traverse_util.flatten_dict(tree)
+    torch_sd = {}
+    for path, v in flat.items():
+        key, tv = _to_diffusers_key(component, path, np.asarray(v))
+        torch_sd[key] = tv
+    back, unused = convert_component(torch_sd, component, strict=True)
+    assert unused == []
+    a = {"/".join(p): np.asarray(v) for p, v in flat.items()}
+    b = {"/".join(p): np.asarray(v) for p, v in traverse_util.flatten_dict(back).items()}
+    assert set(a) == set(b), (set(a) ^ set(b))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=0, err_msg=k)
