@@ -67,8 +67,19 @@ class GaussianDiffusion:
         self.percep_loss_fn = percep_loss_fn
 
     # ---------------------------------------------------------------- params
-    def _apply_denoise(self, params, x, t, cond, img_lr_up):
-        return self.denoise_fn.apply({"params": params["denoise_fn"]}, x, t, cond, img_lr_up)
+    def _apply_denoise(self, params, x, t, cond, img_lr_up, cond_projected=False):
+        return self.denoise_fn.apply(
+            {"params": params["denoise_fn"]}, x, t, cond, img_lr_up,
+            cond_projected=cond_projected,
+        )
+
+    def _project_cond(self, params, cond):
+        """Hoist the UNet's condition projection out of the sampling scan —
+        it depends on neither x nor t, so computing it per step (as the
+        reference does implicitly, model.py:825) wastes T-1 transposed convs."""
+        return self.denoise_fn.apply(
+            {"params": params["denoise_fn"]}, None, None, cond, None, project_only=True
+        )
 
     def rrdb_cond(self, params, img_lr, img_lr_up):
         """Run the condition encoder once. Returns (rrdb_out, cond)."""
@@ -188,9 +199,12 @@ class GaussianDiffusion:
         nonzero = (t > 0).astype(x.dtype).reshape(x.shape[0], *((1,) * (x.ndim - 1)))
         return mean + nonzero * jnp.exp(0.5 * log_variance) * noise, x0
 
-    def p_sample(self, params, x, t, cond, img_lr_up, rng, noise_pred=None, clip_denoised=True):
+    def p_sample(self, params, x, t, cond, img_lr_up, rng, noise_pred=None,
+                 clip_denoised=True, cond_projected=False):
         if noise_pred is None:
-            noise_pred = self._apply_denoise(params, x, t, cond, img_lr_up).astype(jnp.float32)
+            noise_pred = self._apply_denoise(
+                params, x, t, cond, img_lr_up, cond_projected
+            ).astype(jnp.float32)
         return self.p_sample_from_pred(x, t, noise_pred, rng, clip_denoised)
 
     def sample(self, params, img_lr, img_lr_up, rng, shape=None, save_intermediate=False):
@@ -203,6 +217,7 @@ class GaussianDiffusion:
         shape = tuple(shape) if shape is not None else img_lr_up.shape
         b = shape[0]
         rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
+        cond = self._project_cond(params, cond)
         rng_init, rng_steps = jax.random.split(rng)
         if self.res:
             x = jax.random.normal(rng_init, shape, jnp.float32)
@@ -213,7 +228,8 @@ class GaussianDiffusion:
         def step(x, ti):
             t = jnp.full((b,), ti, jnp.int32)
             x_next, x0 = self.p_sample(
-                params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti)
+                params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
+                cond_projected=True,
             )
             if save_intermediate:
                 return x_next, (self.res2img(x_next, img_lr_up), self.res2img(x0, img_lr_up))
@@ -239,6 +255,7 @@ class GaussianDiffusion:
         ts = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
         rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
+        cond = self._project_cond(params, cond)
         rng_init, rng_steps = jax.random.split(rng)
         x = jax.random.normal(rng_init, shape, jnp.float32)
 
@@ -247,7 +264,7 @@ class GaussianDiffusion:
         def step(x, t_pair):
             ti, tp = t_pair
             t = jnp.full((b,), ti, jnp.int32)
-            eps = self._apply_denoise(params, x, t, cond, img_lr_up).astype(jnp.float32)
+            eps = self._apply_denoise(params, x, t, cond, img_lr_up, True).astype(jnp.float32)
             a_t = acp[ti]
             a_prev = jnp.where(tp >= 0, acp[jnp.maximum(tp, 0)], 1.0)
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
@@ -272,6 +289,7 @@ class GaussianDiffusion:
         b = x1.shape[0]
         t = self.num_timesteps - 1 if t is None else int(t)
         _, cond = self.rrdb_cond(params, img_lr, img_lr_up)
+        cond = self._project_cond(params, cond)
         x1 = self.img2res(x1, img_lr_up)
         x2 = self.img2res(x2, img_lr_up)
         tb = jnp.full((b,), t, jnp.int32)
@@ -283,7 +301,8 @@ class GaussianDiffusion:
         def step(x, ti):
             tt = jnp.full((b,), ti, jnp.int32)
             x_next, _ = self.p_sample(
-                params, x, tt, cond, img_lr_up, jax.random.fold_in(rng_steps, ti)
+                params, x, tt, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
+                cond_projected=True,
             )
             return x_next, None
 

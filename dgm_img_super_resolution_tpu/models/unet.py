@@ -57,21 +57,31 @@ class Unet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time, cond, img_lr_up=None):
+    def __call__(self, x, time, cond, img_lr_up=None, *, cond_projected=False, project_only=False):
         """x: (N,H,W,3) noisy residual; time: (N,); cond: (N,H/s,W/s,C_cond)
-        channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3)."""
+        channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3).
+
+        ``project_only=True`` returns just the HR-projected condition so the
+        sampler can hoist the projection out of the T-step scan (it depends
+        on neither x nor t); pass that result back with ``cond_projected=True``.
+        """
         dims = [3] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
 
+        if cond_projected:
+            cond_proj = cond.astype(self.dtype)
+        else:
+            cond_proj = ConvTranspose2dTorch(
+                self.dim, self.sr_scale * 2, self.sr_scale, self.sr_scale // 2,
+                dtype=self.dtype, name="cond_proj",
+            )(cond)
+        if project_only:
+            return cond_proj
+
         t = sinusoidal_pos_emb(time, self.dim).astype(self.dtype)
         t = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_0")(t)
         t = nn.Dense(self.dim, dtype=self.dtype, name="mlp_1")(mish(t))
-
-        cond_proj = ConvTranspose2dTorch(
-            self.dim, self.sr_scale * 2, self.sr_scale, self.sr_scale // 2,
-            dtype=self.dtype, name="cond_proj",
-        )(cond)
 
         h = []
         for i, (_, dim_out) in enumerate(in_out):

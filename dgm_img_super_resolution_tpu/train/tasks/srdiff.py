@@ -51,3 +51,47 @@ class SRDiffTask:
             init_params_fn=self.init_params,
             mesh=mesh,
         )
+
+    def make_val_fn(self, val_batches: list, sample_metrics: bool = False):
+        """Validation closure for ``Trainer.fit`` — mean diffusion loss over
+        ``valid_steps`` batches plus (optionally) sample-based PSNR/SSIM via
+        ``Measure`` on the first batch (the reference's ``valid_monitor_key:
+        val_loss`` + sanity-sample machinery, config.yaml:37-38,76-79)."""
+        import numpy as np
+
+        from dgm_img_super_resolution_tpu.metrics.measure import Measure
+        from dgm_img_super_resolution_tpu.ops.image import pm1_to_uint8
+
+        measure = Measure()
+        n_batches = min(len(val_batches), int(self.hp.get("valid_steps", 4)))
+
+        val_loss_fn = jax.jit(
+            lambda p, b, k: self.loss_fn(p, b, k)[0]
+        )
+        sample_fn = jax.jit(
+            lambda p, lr, lr_up, k: self.diffusion.sample(p, lr, lr_up, k)[0]
+        )
+
+        def val_fn(state) -> dict:
+            losses = []
+            for i in range(n_batches):
+                losses.append(
+                    float(val_loss_fn(state.params, val_batches[i], jax.random.PRNGKey(i)))
+                )
+            out = {"loss": float(np.mean(losses))}
+            if sample_metrics:
+                b = val_batches[0]
+                sr = sample_fn(state.params, b["lr"], b["lr_up"], jax.random.PRNGKey(0))
+                psnrs, ssims = [], []
+                for j in range(min(4, sr.shape[0])):
+                    res = measure.measure(
+                        pm1_to_uint8(sr[j]), pm1_to_uint8(b["hr"][j]),
+                        pm1_to_uint8(b["lr"][j]), self.hp["sr_scale"],
+                    )
+                    psnrs.append(res["psnr"])
+                    ssims.append(res["ssim"])
+                out["psnr"] = float(np.mean(psnrs))
+                out["ssim"] = float(np.mean(ssims))
+            return out
+
+        return val_fn

@@ -67,6 +67,23 @@ def test_conv_transpose_matches_torch(k, s, p, h, rng):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_reflect_conv3x3_matches_torch_reflectpad_conv(rng):
+    """The zero-pad + border-correction formulation must be exactly the
+    reflect-pad conv (fp32)."""
+    from dgm_img_super_resolution_tpu.models.layers import reflect_conv3x3
+
+    cin, cout = 5, 7
+    x = rng.standard_normal((2, 12, 10, cin)).astype(np.float32)
+    w_t = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) * 0.2
+    b_t = rng.standard_normal((cout,)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.conv2d(torch.nn.ReflectionPad2d(1)(xt), torch.from_numpy(w_t), torch.from_numpy(b_t))
+    want = want.permute(0, 2, 3, 1).numpy()
+    kernel = jnp.asarray(np.transpose(w_t, (2, 3, 1, 0)))
+    got = np.asarray(reflect_conv3x3(jnp.asarray(x), kernel, jnp.asarray(b_t)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_sinusoidal_pos_emb_reference_spacing():
     t = jnp.array([0.0, 1.0, 50.0])
     emb = sinusoidal_pos_emb(t, 64)

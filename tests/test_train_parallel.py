@@ -108,3 +108,16 @@ def test_lr_schedule_step_decay():
     assert float(sched(0)) == pytest.approx(1e-3)
     assert float(sched(150)) == pytest.approx(5e-4)
     assert float(sched(250)) == pytest.approx(2.5e-4)
+
+
+def test_srdiff_val_fn_with_sample_metrics(rng, tmp_path):
+    task = SRDiffTask(TINY)
+    trainer = task.make_trainer(mesh=make_mesh("dp=8"))
+    trainer.work_dir = str(tmp_path)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    val_batches = [_make_batch(rng) for _ in range(2)]
+    val_fn = task.make_val_fn(val_batches, sample_metrics=True)
+    out = val_fn(state)
+    assert set(out) == {"loss", "psnr", "ssim"}
+    assert np.isfinite(out["loss"]) and np.isfinite(out["psnr"])
+    assert -1.0 <= out["ssim"] <= 1.0
