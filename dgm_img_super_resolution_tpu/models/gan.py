@@ -48,7 +48,7 @@ class MLPDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):  # train unused: norm-free trunk
         x = x.reshape(x.shape[0], -1)
         for i, h in enumerate(self.hidden):
             x = nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x)

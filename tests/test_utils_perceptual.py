@@ -60,7 +60,7 @@ def test_tensor_helpers():
 
 def test_reduce_metrics_pmean():
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = Mesh(np.array(jax.devices()), ("dp",))
     x = jnp.arange(8.0)
