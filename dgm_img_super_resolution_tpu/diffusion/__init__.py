@@ -4,4 +4,7 @@ from dgm_img_super_resolution_tpu.diffusion.schedule import (  # noqa: F401
     get_beta_schedule,
     make_schedule,
 )
-from dgm_img_super_resolution_tpu.diffusion.gaussian import GaussianDiffusion  # noqa: F401
+from dgm_img_super_resolution_tpu.diffusion.gaussian import (  # noqa: F401
+    GaussianDiffusion,
+    noise_like,
+)

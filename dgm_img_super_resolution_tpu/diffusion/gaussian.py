@@ -30,6 +30,15 @@ from dgm_img_super_resolution_tpu.diffusion.schedule import Schedule, extract
 from dgm_img_super_resolution_tpu.metrics.psnr_ssim import ssim as ssim_loss
 
 
+def noise_like(rng: jax.Array, shape, repeat: bool = False) -> jnp.ndarray:
+    """Batch of gaussian noise; ``repeat=True`` draws one sample and repeats
+    it across the batch (reference ``noise_like``, ``model.py:866-869``)."""
+    if repeat:
+        one = jax.random.normal(rng, (1,) + tuple(shape[1:]), jnp.float32)
+        return jnp.broadcast_to(one, tuple(shape))
+    return jax.random.normal(rng, tuple(shape), jnp.float32)
+
+
 class GaussianDiffusion:
     """Holds static config + module references; every method is pure."""
 

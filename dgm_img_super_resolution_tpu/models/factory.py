@@ -100,4 +100,10 @@ def init_srdiff_params(diffusion: GaussianDiffusion, rng, hp: Hparams, hr_size: 
         cond = x_lr
     unet_vars = jax.jit(diffusion.denoise_fn.init)(k2, x_hr, t, cond, x_hr)
     params["denoise_fn"] = unet_vars["params"]
+    if hp.get("weight_init", False):
+        # reference applies He-normal re-init to the UNet when weight_init:
+        # true (model.py:809-810 → initialize_weights, model.py:78-95)
+        from dgm_img_super_resolution_tpu.models.param_transforms import kaiming_init
+
+        params["denoise_fn"] = kaiming_init(jax.random.fold_in(k2, 1), params["denoise_fn"])
     return params

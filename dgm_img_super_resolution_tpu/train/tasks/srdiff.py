@@ -30,8 +30,20 @@ class SRDiffTask:
     def __init__(self, hp: Hparams, diffusion: GaussianDiffusion | None = None):
         self.hp = hp
         self.diffusion = diffusion or build_srdiff(hp)
+        # use_wn: optimise over weight-norm (v, g) pairs on the UNet and
+        # materialise effective kernels inside the loss (the functional form
+        # of the reference's weight_norm wrap/strip, model.py:812-818,849-856)
+        self.use_wn = bool(hp.get("use_wn", False))
+
+    def _materialize(self, params: Any) -> Any:
+        if not self.use_wn:
+            return params
+        from dgm_img_super_resolution_tpu.models.param_transforms import wn_merge
+
+        return {**params, "denoise_fn": wn_merge(params["denoise_fn"])}
 
     def loss_fn(self, params: Any, batch: dict, rng: jax.Array):
+        params = self._materialize(params)
         losses, _, _ = self.diffusion.training_losses(
             params, batch["hr"], batch["lr"], batch["lr_up"], rng
         )
@@ -40,9 +52,14 @@ class SRDiffTask:
         return total, metrics
 
     def init_params(self, rng: jax.Array):
-        return init_srdiff_params(
+        params = init_srdiff_params(
             self.diffusion, rng, self.hp, hr_size=self.hp.get("patch_size", 160)
         )
+        if self.use_wn:
+            from dgm_img_super_resolution_tpu.models.param_transforms import wn_split
+
+            params = {**params, "denoise_fn": wn_split(params["denoise_fn"])}
+        return params
 
     def make_trainer(self, mesh=None) -> Trainer:
         return Trainer(
@@ -69,7 +86,9 @@ class SRDiffTask:
             lambda p, b, k: self.loss_fn(p, b, k)[0]
         )
         sample_fn = jax.jit(
-            lambda p, lr, lr_up, k: self.diffusion.sample(p, lr, lr_up, k)[0]
+            lambda p, lr, lr_up, k: self.diffusion.sample(
+                self._materialize(p), lr, lr_up, k
+            )[0]
         )
 
         def val_fn(state) -> dict:
