@@ -61,7 +61,13 @@ def make_lr_schedule(hp: Hparams) -> optax.Schedule:
 def make_optimizer(hp: Hparams) -> optax.GradientTransformation:
     steps = [optax.clip_by_global_norm(hp["clip_grad_norm"])] if hp["clip_grad_norm"] else []
     steps.append(optax.adam(make_lr_schedule(hp)))
-    return optax.chain(*steps)
+    tx = optax.chain(*steps)
+    accum = int(hp.get("accumulate_grad_batches", 1))
+    if accum > 1:
+        # reference key `accumulate_grad_batches` (config.yaml:1): apply the
+        # update every N micro-batches, averaging grads — optax.MultiSteps
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 class Trainer:
@@ -115,6 +121,12 @@ class Trainer:
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        if self.hp.get("print_nan_grads", False):
+            # reference config key `print_nan_grads` (config.yaml:42, no code
+            # behind it there): count of non-finite gradient elements
+            metrics["nan_grads"] = sum(
+                jnp.sum(~jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+            )
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1, ema_params=ema_params),
             metrics,
@@ -177,6 +189,16 @@ class Trainer:
                 )
                 print(f"| resumed from step {start_step}")
 
+        if val_fn is not None and int(hp.get("num_sanity_val_steps", 0)) > 0 and start_step == 0:
+            # reference key `num_sanity_val_steps` (config.yaml:38): exercise
+            # the validation path once before training starts
+            sanity = val_fn(state)
+            self._write_log({"step": 0, **{f"sanity_{k}": v for k, v in sanity.items()}})
+
+        monitor_key = str(hp.get("valid_monitor_key", "val_loss")).removeprefix("val_")
+        monitor_sign = -1.0 if hp.get("valid_monitor_mode", "min") == "min" else 1.0
+        best = -float("inf")
+
         t0 = time.time()
         step = start_step
         for batch in data_iter:
@@ -192,14 +214,22 @@ class Trainer:
                 self._metrics_log.append(scalars)
                 self._write_log(scalars)
                 print("| " + json.dumps(scalars))
+                if scalars.get("nan_grads", 0):
+                    print(f"| WARNING: {int(scalars['nan_grads'])} non-finite grad elements")
             if hp["val_check_interval"] and step % hp["val_check_interval"] == 0:
                 if val_fn is not None:
                     val_metrics = val_fn(state)
                     self._write_log({"step": step, **{f"val_{k}": v for k, v in val_metrics.items()}})
+                    score = monitor_sign * float(val_metrics.get(monitor_key, float("inf") * -monitor_sign))
+                    if hp.get("save_best", False) and score > best:
+                        # reference key `save_best` + valid_monitor_* (config
+                        # .yaml:49,77-78): extra best-so-far checkpoint
+                        best = score
+                        self.save(state, step, subdir="best")
                 self.save(state, step)
         return state
 
-    def save(self, state: TrainState, step: int) -> None:
+    def save(self, state: TrainState, step: int, subdir: str = "") -> None:
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),
@@ -207,7 +237,9 @@ class Trainer:
         }
         if state.ema_params is not None:
             payload["ema_params"] = jax.device_get(state.ema_params)
-        save_checkpoint(payload, self.work_dir, step, self.hp["num_ckpt_keep"])
+        work_dir = os.path.join(self.work_dir, subdir) if subdir else self.work_dir
+        keep = 1 if subdir else self.hp["num_ckpt_keep"]
+        save_checkpoint(payload, work_dir, step, keep)
 
     def _write_log(self, scalars: dict) -> None:
         os.makedirs(self.work_dir, exist_ok=True)

@@ -121,3 +121,58 @@ def test_srdiff_val_fn_with_sample_metrics(rng, tmp_path):
     assert set(out) == {"loss", "psnr", "ssim"}
     assert np.isfinite(out["loss"]) and np.isfinite(out["psnr"])
     assert -1.0 <= out["ssim"] <= 1.0
+
+
+def test_accumulate_grad_batches(rng, tmp_path):
+    """With accumulation N, params change only every N micro-steps."""
+    hp = TINY.replace(accumulate_grad_batches=2)
+    task = SRDiffTask(hp)
+    trainer = task.make_trainer(mesh=make_mesh("dp=8"))
+    trainer.work_dir = str(tmp_path)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _make_batch(rng)
+    p0 = jax.device_get(state.params["denoise_fn"]["final_conv"]["kernel"])
+    state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    p1 = jax.device_get(state.params["denoise_fn"]["final_conv"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: grads only stored
+    state, _ = trainer.train_step(state, batch, jax.random.PRNGKey(2))
+    p2 = jax.device_get(state.params["denoise_fn"]["final_conv"]["kernel"])
+    assert not np.allclose(p1, p2)  # second micro-step applies the update
+
+
+def test_print_nan_grads_metric(rng, tmp_path):
+    hp = TINY.replace(print_nan_grads=True)
+    task = SRDiffTask(hp)
+    trainer = task.make_trainer(mesh=make_mesh("dp=8"))
+    trainer.work_dir = str(tmp_path)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, metrics = trainer.train_step(state, _make_batch(rng), jax.random.PRNGKey(1))
+    assert int(metrics["nan_grads"]) == 0
+
+
+def test_save_best_and_sanity_val(rng, tmp_path):
+    hp = TINY.replace(
+        val_check_interval=2, num_ckpt_keep=2, save_best=True,
+        num_sanity_val_steps=1, valid_monitor_key="val_loss", valid_monitor_mode="min",
+    )
+    task = SRDiffTask(hp)
+    trainer = task.make_trainer(mesh=make_mesh("dp=8"))
+    trainer.work_dir = str(tmp_path)
+    batch = _make_batch(rng)
+    calls = []
+
+    def val_fn(state):
+        calls.append(1)
+        return {"loss": 1.0 / len(calls)}  # strictly improving
+
+    trainer.fit((batch for _ in range(10)), jax.random.PRNGKey(0), max_updates=4,
+                val_fn=val_fn, resume=False)
+    # sanity call + 2 val calls (steps 2, 4)
+    assert len(calls) == 3
+    from dgm_img_super_resolution_tpu.ckpt.orbax_io import get_all_ckpts
+
+    assert len(get_all_ckpts(str(tmp_path))) == 2
+    assert len(get_all_ckpts(str(tmp_path / "best"))) == 1  # keep=1 for best
+    import os
+    log = open(os.path.join(str(tmp_path), "metrics.jsonl")).read()
+    assert "sanity_loss" in log
