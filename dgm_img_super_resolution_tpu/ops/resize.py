@@ -179,10 +179,15 @@ def imresize(
     scale: float | None = None,
     method: str = "bicubic",
     sizes: tuple[int, int] | None = None,
+    use_native: bool | None = None,
 ) -> np.ndarray:
     """NumPy-facing MATLAB ``imresize`` equivalent (API of reference
     ``model.py:1268-1306``): HW or HWC array in, same dtype semantics out
     (uint8 in → rounded/clipped uint8 out; float in → float64 out).
+
+    Routes to the native C++ implementation (``native/``) when it is
+    available (``use_native=None``, the default) — the host-side fast path
+    for data loading; ``use_native=False`` forces the NumPy matrix path.
     """
     if scale is not None:
         out_h = int(math.ceil(scale * img.shape[0]))
@@ -191,6 +196,13 @@ def imresize(
         out_h, out_w = int(sizes[0]), int(sizes[1])
     else:
         raise ValueError("either scale or sizes must be given")
+    if use_native is not False and method == "bicubic":
+        from dgm_img_super_resolution_tpu import native
+
+        if native.available():
+            return native.matlab_resize(img, (out_h, out_w))
+        if use_native:
+            raise RuntimeError("native imageops requested but unavailable")
     mh = resize_matrix(img.shape[0], out_h, "matlab", method, dtype="float64")
     mw = resize_matrix(img.shape[1], out_w, "matlab", method, dtype="float64")
     x = img.astype(np.float64)
