@@ -86,6 +86,75 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    """Directory evaluation: SR every image in ``test_input_dir``-style dir,
+    save PNGs into the gen dir, aggregate PSNR/SSIM/lr_psnr — the workflow the
+    reference's ``test_input_dir``/``gen_dir_name``/``test_save_png`` config
+    keys describe (``srdiff/config.yaml:65,67,66``)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from dgm_img_super_resolution_tpu.core.config import set_hparams
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+    from dgm_img_super_resolution_tpu.metrics import Measure
+    from dgm_img_super_resolution_tpu.ops.resize import imresize
+
+    hp = set_hparams(args.config, args.exp_name, args.hparams)
+    input_dir = args.input_dir or hp.get("test_input_dir", "")
+    if not input_dir:
+        print("no input dir (pass INPUT_DIR or set test_input_dir)", file=sys.stderr)
+        return 2
+    gen_dir = args.gen_dir or os.path.join(
+        hp["work_dir"], hp.get("gen_dir_name", "") or "generated"
+    )
+    save_png = hp.get("test_save_png", True) and not args.no_png
+    os.makedirs(gen_dir, exist_ok=True)
+    pipe = SRDiffPipeline(hp, ckpt_path=args.ckpt or None)
+    measure = Measure()
+    scale = hp["sr_scale"]
+    names = sorted(
+        f for f in os.listdir(input_dir) if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    agg: dict[str, list] = {}
+    for name in names:
+        hr = np.asarray(Image.open(os.path.join(input_dir, name)).convert("RGB"))
+        hr = hr[: hr.shape[0] // scale * scale, : hr.shape[1] // scale * scale]
+        lr = imresize(hr, scale=1.0 / scale)
+        sr = pipe.upscale(lr) if not args.patch else pipe.upscale_large(lr, patch=args.patch)
+        sr_u8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
+        if save_png:
+            Image.fromarray(sr_u8).save(os.path.join(gen_dir, name))
+        res = measure.measure(sr_u8, hr, lr, scale)
+        for k, v in res.items():
+            agg.setdefault(k, []).append(float(v))
+        print(f"| {name}: " + json.dumps({k: round(float(v), 4) for k, v in res.items()}))
+    if agg:
+        print(json.dumps({k: round(float(np.mean(v)), 4) for k, v in agg.items()}))
+    return 0
+
+
+def cmd_interp(args) -> int:
+    """Latent interpolation between two images (``style_interp``,
+    reference ``model.py:1093-1116`` / ``config.yaml:66``)."""
+    import numpy as np
+    from PIL import Image
+
+    from dgm_img_super_resolution_tpu.core.config import set_hparams
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    hp = set_hparams(args.config, args.exp_name, args.hparams)
+    pipe = SRDiffPipeline(hp, ckpt_path=args.ckpt or None)
+    a = np.asarray(Image.open(args.img1).convert("RGB"))
+    b = np.asarray(Image.open(args.img2).convert("RGB"))
+    out = pipe.interpolate(a, b, lam=args.lam)
+    out_u8 = (np.clip(out, 0, 1) * 255).round().astype(np.uint8)
+    Image.fromarray(out_u8).save(args.output)
+    print(f"| wrote {args.output} (lam={args.lam})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -116,6 +185,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("--ckpt", type=str, default="")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("test", help="evaluate a directory of HR images (SR + metrics + PNGs)")
+    _add_common(p)
+    p.add_argument("input_dir", nargs="?", default="")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--gen_dir", type=str, default="")
+    p.add_argument("--no_png", action="store_true")
+    p.add_argument("--patch", type=int, default=0)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("interp", help="latent interpolation between two images")
+    _add_common(p)
+    p.add_argument("img1")
+    p.add_argument("img2")
+    p.add_argument("output")
+    p.add_argument("--lam", type=float, default=0.5)
+    p.add_argument("--ckpt", type=str, default="")
+    p.set_defaults(fn=cmd_interp)
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -88,6 +88,35 @@ class SRDiffPipeline:
         ``model_inference`` surface)."""
         return self.upscale_batch(np.asarray(image)[None], rng)[0]
 
+    def interpolate(self, img1, img2, lam: float = 0.5, t: int | None = None,
+                    rng: jax.Array | None = None) -> np.ndarray:
+        """Latent-mixing sampler between two same-shape HR images conditioned
+        on the LR of the first (the ``style_interp`` capability, reference
+        ``model.py:1093-1116`` + config key ``config.yaml:66``). Inputs HWC
+        uint8/[-1,1] float; returns HWC float [0,1]."""
+        a = np.asarray(img1)
+        b = np.asarray(img2)
+        x1 = uint8_to_pm1(a) if a.dtype == np.uint8 else jnp.asarray(a, jnp.float32)
+        x2 = uint8_to_pm1(b) if b.dtype == np.uint8 else jnp.asarray(b, jnp.float32)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        t_static = self.hp["timesteps"] - 1 if t is None else int(t)
+        fn = self._interp_fn(t_static)
+        return np.asarray(fn(self.params, x1, x2, rng, float(lam)))
+
+    @functools.lru_cache(maxsize=8)
+    def _interp_fn(self, t: int):
+        scale = self.hp["sr_scale"]
+
+        def run(params, x1, x2, rng, lam):
+            lr = resize(x1[None], (x1.shape[0] // scale, x1.shape[1] // scale), variant="matlab")
+            lr_up = resize(lr, (x1.shape[0], x1.shape[1]), variant="torch")
+            out = self.diffusion.interpolate(
+                params, x1[None], x2[None], lr, lr_up, rng, t=t, lam=lam
+            )
+            return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)[0]
+
+        return jax.jit(run)
+
     def upscale_large(self, image, patch: int = 64, rng: jax.Array | None = None) -> np.ndarray:
         """Patch-parallel SR for large LR images: split the LR grid into
         ``patch``-sized tiles, shard tiles over the mesh as a batch, stitch the

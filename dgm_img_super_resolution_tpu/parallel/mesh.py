@@ -49,9 +49,21 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
 
 def shard_batch(x: Any, mesh: Mesh, axis: str = "dp") -> Any:
     """Put a pytree of arrays with leading batch dim onto the mesh, batch
-    sharded over ``axis`` and everything else replicated."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), x)
+    sharded over ``axis`` and everything else replicated.
+
+    A batch not divisible by the axis size (e.g. a single image on an
+    8-chip mesh) falls back to replication — correct, just not parallel;
+    callers wanting parallel small-batch inference should tile into patches
+    (``SRDiffPipeline.upscale_large``) or pad the batch."""
+    n = mesh.shape.get(axis, 1)
+    sharded = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(a):
+        div = hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] % n == 0
+        return jax.device_put(a, sharded if div else rep)
+
+    return jax.tree_util.tree_map(put, x)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
