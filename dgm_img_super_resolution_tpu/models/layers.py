@@ -153,41 +153,114 @@ def reflect_conv3x3(x, kernel, bias=None, dtype=jnp.float32):
     return y
 
 
+def reflect_conv3x3_stride2(x, kernel, bias=None, dtype=jnp.float32):
+    """Stride-2 3×3 conv with ReflectionPad(1) semantics without materialising
+    the padded tensor (the Downsample hot path). For even H/W only the FIRST
+    output row/col windows touch the pad, so the corrections are one 1×3
+    strided conv per edge plus one corner term. Bit-equivalent to
+    ``conv_s2(reflect_pad(x))`` — see tests/test_models.py."""
+    assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, "even spatial dims required"
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn
+    )
+
+    # top output row misses padded row −1 ≡ x[1] (zero in the base conv)
+    row = x[:, 1][:, None]  # (B,1,W,C)
+    row_fix = jax.lax.conv_general_dilated(
+        row, kernel[0][None], (1, 2), ((0, 0), (1, 1)), dimension_numbers=dn
+    )[:, 0]
+    y = y.at[:, 0].add(row_fix)
+    # left output col misses padded col −1 ≡ x[:, 1]
+    col = x[:, :, 1][:, :, None]  # (B,H,1,C)
+    col_fix = jax.lax.conv_general_dilated(
+        col, kernel[:, 0][:, None], (2, 1), ((1, 1), (0, 0)), dimension_numbers=dn
+    )[:, :, 0]
+    y = y.at[:, :, 0].add(col_fix)
+    # corner (−1,−1) ≡ x[1,1], covered by neither strip
+    y = y.at[:, 0, 0].add(jnp.einsum("bc,cd->bd", x[:, 1, 1], kernel[0, 0]))
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class ReflectConv3x3(nn.Module):
     """Param container for :func:`reflect_conv3x3` (param paths match a plain
-    ``nn.Conv`` named the same, so checkpoint translation is unchanged)."""
+    ``nn.Conv`` named the same, so checkpoint translation is unchanged).
+
+    ``x2`` (optional) is a second input whose channels continue ``x``'s — the
+    pair is convolved as if ``concat([x, x2], -1)`` were the input, by slicing
+    the kernel, WITHOUT materialising the concat buffer (the UNet up-stage
+    skip join; saves an HBM round-trip of the widest activation per stage)."""
 
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
+        c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], self.features),
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-        return reflect_conv3x3(x, kernel, bias, dtype=self.dtype)
+        if x2 is None:
+            return reflect_conv3x3(x, kernel, bias, dtype=self.dtype)
+        c1 = x.shape[-1]
+        return reflect_conv3x3(x, kernel[:, :, :c1], bias, dtype=self.dtype) + reflect_conv3x3(
+            x2, kernel[:, :, c1:], None, dtype=self.dtype
+        )
 
 
 class Block(nn.Module):
-    """ReflectionPad(1) → Conv3x3 → [GroupNorm] → Mish."""
+    """ReflectionPad(1) → Conv3x3 → [GroupNorm] → Mish.
+
+    ``x2``: optional channel-continuation input (see :class:`ReflectConv3x3`)."""
 
     dim_out: int
     groups: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = ReflectConv3x3(self.dim_out, dtype=self.dtype, name="conv")(x)
+    def __call__(self, x, x2=None):
+        y = ReflectConv3x3(self.dim_out, dtype=self.dtype, name="conv")(x, x2)
         if self.groups > 0:
             y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(y)
         return mish(y)
 
 
+class Conv1x1Pair(nn.Module):
+    """1×1 conv over the virtual concat of two inputs, param-compatible with
+    ``nn.Conv(features, (1, 1))`` applied to the concat."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x2=None):
+        c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, c_in, self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        k = kernel[0, 0].astype(self.dtype)
+        y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype), k[: x.shape[-1]])
+        if x2 is not None:
+            y = y + jnp.einsum("bhwc,cd->bhwd", x2.astype(self.dtype), k[x.shape[-1] :])
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
-    """2×Block + time-embedding add + optional cond add + 1×1 residual."""
+    """2×Block + time-embedding add + optional cond add + 1×1 residual.
+
+    ``skip``: optional skip tensor joined as a *virtual* channel-concat with
+    ``x`` (the UNet up stages) — block1 and the residual conv read the pair
+    directly instead of a materialised ``concat([x, skip])``."""
 
     dim_out: int
     time_emb_dim: int = 0
@@ -195,16 +268,19 @@ class ResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time_emb=None, cond=None):
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x)
+    def __call__(self, x, time_emb=None, cond=None, skip=None):
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, skip)
         if time_emb is not None:
             t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(time_emb))
             h = h + t[:, None, None, :]
         if cond is not None:
             h = h + cond
         h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h)
-        if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="res_conv")(x)
+        c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        if c_in != self.dim_out:
+            x = Conv1x1Pair(self.dim_out, dtype=self.dtype, name="res_conv")(x, skip)
+        elif skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         return h + x
 
 
@@ -221,17 +297,40 @@ class Upsample(nn.Module):
 
 
 class Downsample(nn.Module):
-    """ReflectionPad(1) + Conv3x3 stride 2: halves H and W."""
+    """ReflectionPad(1) + Conv3x3 stride 2: halves H and W.
+
+    Even spatial dims take the pad-free strided path (one strip fix per edge);
+    odd dims fall back to the materialised reflect pad."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            return ReflectConvS2(x.shape[-1], dtype=self.dtype, name="conv")(x)
         y = reflect_pad(x, 1)
         return nn.Conv(
             x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
             dtype=self.dtype, name="conv",
         )(y)
+
+
+class ReflectConvS2(nn.Module):
+    """Param container for :func:`reflect_conv3x3_stride2` (param paths match
+    ``nn.Conv`` so checkpoints translate unchanged)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return reflect_conv3x3_stride2(x, kernel, bias, dtype=self.dtype)
 
 
 class LinearAttention(nn.Module):

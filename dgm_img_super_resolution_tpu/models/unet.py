@@ -108,10 +108,14 @@ class Unet(nn.Module):
         x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block2")(x, t)
 
         # up stages mirror reversed(in_out[1:]) — 3 stages, all with Upsample
-        # (the reference's is_last condition never triggers there).
+        # (the reference's is_last condition never triggers there). The skip
+        # join is a *virtual* concat: res1's convs read (x, skip) as a pair,
+        # saving a full-width concat buffer round-trip per stage in the
+        # T-step sampling scan (see layers.ResnetBlock).
         for i, (dim_in, _) in enumerate(reversed(in_out[1:])):
-            x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")(x, t)
+            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")(
+                x, t, skip=h.pop()
+            )
             x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res2")(x, t)
             x = Upsample(self.dtype, name=f"up_{i}_upsample")(x)
 

@@ -147,3 +147,50 @@ def test_srdiff_param_count_reasonable():
     # Upstream SRDiff: UNet ≈ 11.8M params, RRDB(nf=32, nb=8, gc=16) ≈ 1.5M.
     assert 10e6 < n_unet < 14e6, n_unet
     assert 1e6 < n_rrdb < 2e6, n_rrdb
+
+
+def test_reflect_conv_stride2_matches_materialised_pad(rng):
+    from dgm_img_super_resolution_tpu.models.layers import (
+        reflect_conv3x3_stride2,
+        reflect_pad,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((7,)).astype(np.float32))
+    got = reflect_conv3x3_stride2(x, k, b)
+    ref = jax.lax.conv_general_dilated(
+        reflect_pad(x, 1), k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_resnet_block_skip_pair_equals_concat(rng):
+    """The virtual-concat skip join is numerically the explicit concat."""
+    from dgm_img_super_resolution_tpu.models.layers import ResnetBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((2, 8, 8, 10)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    blk = ResnetBlock(dim_out=5, time_emb_dim=4)
+    params = blk.init(jax.random.PRNGKey(0), x, t, skip=skip)
+    out_pair = blk.apply(params, x, t, skip=skip)
+    out_cat = blk.apply(params, jnp.concatenate([x, skip], -1), t)
+    np.testing.assert_allclose(np.asarray(out_pair), np.asarray(out_cat), atol=1e-5)
+
+
+def test_downsample_even_and_odd_paths(rng):
+    from dgm_img_super_resolution_tpu.models.layers import Downsample, reflect_pad
+
+    ds = Downsample()
+    for h, w in ((8, 8), (7, 9)):
+        x = jnp.asarray(rng.standard_normal((1, h, w, 4)).astype(np.float32))
+        params = ds.init(jax.random.PRNGKey(0), x)
+        got = ds.apply(params, x)
+        k = params["params"]["conv"]["kernel"]
+        b = params["params"]["conv"]["bias"]
+        ref = jax.lax.conv_general_dilated(
+            reflect_pad(x, 1), k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        assert got.shape[1:3] == ((h + 1) // 2, (w + 1) // 2)

@@ -50,34 +50,32 @@ def conv_shift9(x, w):
     return y
 
 
-def conv_pack2(x, w):
-    """2-pixel lane packing: output (B, H, W/2, 2*Cout) matmul with a
-    (3*4*Cin, 2*Cout) block-shifted weight — fills 128 lanes when Cout=64."""
-    b, h, wd, cin = x.shape
-    cout = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # patches of (3 rows x 4 cols) covering two adjacent 3x3 windows
-    patches = jnp.stack(
-        [
-            jax.lax.dynamic_slice(xp, (0, dy, 0, 0), (b, h, wd + 2, cin))
-            for dy in range(3)
-        ],
-        axis=-2,
-    )  # (b, h, w+2, 3, cin)
-    cols = patches.reshape(b, h, wd + 2, 3 * cin)
-    # gather width-4 col windows at even offsets: (b, h, w/2, 4, 3*cin)
-    idx = (jnp.arange(wd // 2) * 2)[:, None] + jnp.arange(4)[None]
-    win = cols[:, :, idx]  # (b, h, w/2, 4, 3*cin)
-    win = win.reshape(b, h, wd // 2, 4 * 3 * cin)
-    # weight: W2[(dx', dy, cin), (j, cout)] = w[dy, dx'-j, cin, cout]
-    w2 = np.zeros((4, 3, cin, 2, cout), np.float32)
-    wnp = np.asarray(w, np.float32)
+def pack2_weights(w):
+    """(3,3,Cin,Cout) kernel → (4*3*Cin, 2*Cout) block-shifted matrix:
+    W2[(dx', dy, ci), (j, co)] = w[dy, dx'-j, ci, co] (zero outside)."""
+    cin, cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((4, 3, cin, 2, cout), w.dtype)
     for j in range(2):
         for dx in range(3):
-            w2[j + dx, :, :, j, :] = wnp[:, dx]
-    w2 = jnp.asarray(w2.reshape(12 * cin, 2 * cout), x.dtype)
-    y = win @ w2
-    return y.reshape(b, h, wd // 2, 2, cout).reshape(b, h, wd, cout)
+            w2 = w2.at[j + dx, :, :, j, :].add(w[:, dx])
+    return w2.reshape(12 * cin, 2 * cout)
+
+
+def conv_pack2(x, w):
+    """2-pixel lane packing: two horizontally-adjacent output pixels share one
+    matmul row block, so the output minor dim is 2*Cout=128 — full MXU lanes
+    when Cout=64 (vs 50% underfill for a plain conv). 75% of the padded
+    contraction is useful work."""
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (b, h+2, w+2, cin)
+    # rows: 3 vertically shifted views, channel-stacked -> (b, h, w+2, 3*cin)
+    rows = jnp.concatenate([xp[:, dy : dy + h] for dy in range(3)], axis=-1)
+    # cols: 4 horizontally shifted views at stride 2 -> (b, h, w/2, 4, 3*cin)
+    win = jnp.stack([rows[:, :, dx : dx + wd : 2] for dx in range(4)], axis=3)
+    win = win.reshape(b, h, wd // 2, 12 * cin)
+    y = win @ pack2_weights(w)
+    return y.reshape(b, h, wd, cout)
 
 
 def main():
