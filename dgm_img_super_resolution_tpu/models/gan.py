@@ -27,84 +27,110 @@ Dtype = Any
 
 
 class MLPGenerator(nn.Module):
+    """Simple MNIST generator: Linear(z,256) → LeakyReLU(0.01) → Linear(256,
+    784) → tanh (reference ``simple_gan.ipynb`` cell 7)."""
+
     z_dim: int = 64
-    hidden: Sequence[int] = (128, 256, 512, 1024)
+    hidden: Sequence[int] = (256,)
     out_dim: int = 784
+    slope: float = 0.01
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z, train: bool = True):
+    def __call__(self, z, train: bool = True):  # train unused: norm-free
         x = z
         for i, h in enumerate(self.hidden):
-            x = nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(x)
-            x = nn.relu(x)
+            x = leaky_relu(nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x), self.slope)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc_out")(x)
         return jnp.tanh(x)
 
 
 class MLPDiscriminator(nn.Module):
-    hidden: Sequence[int] = (512, 256, 128)
+    """Simple MNIST discriminator: Linear(784,128) → LeakyReLU(0.01) →
+    Linear(128,1) (reference ``simple_gan.ipynb`` cell 5; sigmoid lives in
+    the BCE-with-logits loss for stability)."""
+
+    hidden: Sequence[int] = (128,)
+    slope: float = 0.01
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):  # train unused: norm-free trunk
         x = x.reshape(x.shape[0], -1)
         for i, h in enumerate(self.hidden):
-            x = nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x)
-            x = leaky_relu(x, 0.2)
+            x = leaky_relu(nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x), self.slope)
         return nn.Dense(1, dtype=self.dtype, name="fc_out")(x)  # logits
 
 
-class DCGANGenerator(nn.Module):
-    """z → 64×64 image: ConvT(s1,k4) 4×4 then 4× ConvT(s2) doublings."""
+_N002 = nn.initializers.normal(0.02)  # reference weights_init (dcgan.ipynb cell 14)
 
-    z_dim: int = 128
-    base: int = 512
+
+class DCGANGenerator(nn.Module):
+    """28×28 MNIST generator (reference ``dcgan.ipynb`` cell 7 /
+    ``wgan-gp.ipynb`` cell 19): ConvT(z→4h,k3,s2) → ConvT(4h→2h,k4,s1) →
+    ConvT(2h→h,k3,s2), each +BatchNorm+ReLU, then ConvT(h→c,k4,s2)+tanh; all
+    convs unpadded (1→3→6→13→28). Weights N(0, 0.02)."""
+
+    z_dim: int = 64
     out_ch: int = 1
+    hidden_dim: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z, train: bool = True):
+        h = self.hidden_dim
         x = z.reshape(z.shape[0], 1, 1, z.shape[-1])
-        x = ConvTranspose2dTorch(self.base, 4, 1, 0, dtype=self.dtype, name="deconv0")(x)  # 4×4
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn0")(x)
-        x = nn.relu(x)
-        feats = [self.base // 2, self.base // 4, self.base // 8]
-        for i, f in enumerate(feats, start=1):
-            x = ConvTranspose2dTorch(f, 4, 2, 1, dtype=self.dtype, name=f"deconv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(x)
+        for i, (f, k, s) in enumerate(((4 * h, 3, 2), (2 * h, 4, 1), (h, 3, 2))):
+            x = ConvTranspose2dTorch(
+                f, k, s, 0, dtype=self.dtype, kernel_init=_N002, name=f"deconv{i}"
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, scale_init=_N002, dtype=self.dtype,
+                name=f"bn{i}",
+            )(x)
             x = nn.relu(x)
-        x = ConvTranspose2dTorch(self.out_ch, 4, 2, 1, dtype=self.dtype, name="deconv_out")(x)
-        return jnp.tanh(x)  # 64×64
+        x = ConvTranspose2dTorch(
+            self.out_ch, 4, 2, 0, dtype=self.dtype, kernel_init=_N002, name="deconv_out"
+        )(x)
+        return jnp.tanh(x)  # 28×28
 
 
 class DCGANDiscriminator(nn.Module):
-    base: int = 64
-    use_norm: bool = True
+    """28×28 discriminator/critic trunk (reference ``dcgan.ipynb`` cell 8 /
+    ``wgan-gp.ipynb`` cell 21): Conv(c→h,k4,s2)+BN+LeakyReLU(0.2) →
+    Conv(h→2h,k4,s2)+BN+LeakyReLU(0.2) → Conv(2h→1,k4,s2), unpadded
+    (28→13→5→1). Returns (N, 1) logits — the sigmoid lives in the loss."""
+
+    hidden_dim: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        feats = [self.base, self.base * 2, self.base * 4]
-        for i, f in enumerate(feats):
-            x = nn.Conv(f, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}")(x)
-            if self.use_norm and i > 0:
-                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name=f"bn{i}")(x)
+        h = self.hidden_dim
+        for i, f in enumerate((h, 2 * h)):
+            x = nn.Conv(
+                f, (4, 4), strides=(2, 2), padding="VALID", dtype=self.dtype,
+                kernel_init=_N002, name=f"conv{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, scale_init=_N002, dtype=self.dtype,
+                name=f"bn{i}",
+            )(x)
             x = leaky_relu(x, 0.2)
-        x = nn.Conv(self.base * 8, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv3")(x)
-        x = leaky_relu(x, 0.2)
-        x = x.reshape(x.shape[0], -1)
-        return nn.Dense(1, dtype=self.dtype, name="fc_out")(x)  # logits
+        x = nn.Conv(
+            1, (4, 4), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            kernel_init=_N002, name="conv_out",
+        )(x)
+        return x.reshape(x.shape[0], -1)  # (N, 1) logits
 
 
 class Critic(nn.Module):
-    """WGAN-GP critic: norm-free conv trunk + linear head
-    (``notebooks/wgan-gp.ipynb`` cells 22-27)."""
+    """WGAN-GP critic (reference ``wgan-gp.ipynb`` cell 21): the same conv
+    trunk at hidden_dim=64 with a linear (unbounded) output."""
 
-    base: int = 64
+    hidden_dim: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return DCGANDiscriminator(self.base, use_norm=False, dtype=self.dtype, name="trunk")(x, train)
+        return DCGANDiscriminator(self.hidden_dim, dtype=self.dtype, name="trunk")(x, train)

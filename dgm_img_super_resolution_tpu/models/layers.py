@@ -84,6 +84,7 @@ class ConvTranspose2dTorch(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
@@ -91,7 +92,7 @@ class ConvTranspose2dTorch(nn.Module):
         k, s, p = self.kernel_size, self.stride, self.padding
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (k, k, in_features, self.features),
             self.param_dtype,
         )

@@ -54,11 +54,13 @@ def _bce_logits(logits, target_ones: bool):
 class GANTask:
     """kind: 'gan' (MLP), 'dcgan', or 'wgan-gp'."""
 
-    def __init__(self, hp: Hparams, kind: str = "dcgan", img_shape=(64, 64, 1)):
+    def __init__(self, hp: Hparams, kind: str = "dcgan", img_shape=(28, 28, 1)):
         self.hp = hp
         self.kind = kind
         self.img_shape = tuple(img_shape)
-        self.z_dim = int(hp.get("z_dim", 64 if kind == "gan" else 128))
+        # all three reference notebooks train with z_dim=64
+        # (simple_gan cell 8, dcgan cell 10, wgan-gp cell 39)
+        self.z_dim = int(hp.get("z_dim", 64))
         if kind == "gan":
             self.gen = MLPGenerator(z_dim=self.z_dim, out_dim=int(jnp.prod(jnp.array(img_shape))))
             self.disc = MLPDiscriminator()

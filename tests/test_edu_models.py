@@ -66,7 +66,7 @@ def test_vae_elbo_trains_and_samples(mnist32):
 
 @pytest.mark.parametrize("kind", ["gan", "dcgan", "wgan-gp"])
 def test_gan_variants_step(kind, mnist32):
-    hw = 28 if kind == "gan" else 64
+    hw = 28
     imgs, _ = synthetic_mnist(16, seed=1)
     x = jnp.asarray(to_model_input(imgs, hw))
     task = GANTask(HP, kind=kind, img_shape=(hw, hw, 1))
@@ -88,10 +88,10 @@ def test_gan_variants_step(kind, mnist32):
 def test_wgan_gp_penalty_is_grad_of_grad(mnist32):
     """GP must differentiate through the critic's input gradient: check that
     the critic update changes parameters even with equal real/fake inputs."""
-    task = GANTask(HP, kind="wgan-gp", img_shape=(64, 64, 1))
+    task = GANTask(HP, kind="wgan-gp", img_shape=(28, 28, 1))
     state = task.init_state(jax.random.PRNGKey(0))
     imgs, _ = synthetic_mnist(8, seed=2)
-    x = jnp.asarray(to_model_input(imgs, 64))
+    x = jnp.asarray(to_model_input(imgs, 28))
     before = jax.tree_util.tree_leaves(state.disc_params)[0].copy()
     state, _, extra = task._disc_update(state, x, jax.random.PRNGKey(1))
     after = jax.tree_util.tree_leaves(state.disc_params)[0]
