@@ -37,20 +37,28 @@ class ConvEncoder(nn.Module):
 
 
 class ConvDecoder(nn.Module):
+    """Dense(latent→base²·128) → reshape → 3× [ConvT(k3,s2,p1,op1) + ReLU]
+    (128→128→64→32) → Conv3x3(SAME)→1ch → sigmoid — the exact layer stack of
+    ``simple_autoencoder.ipynb`` cell 4. (That notebook encodes 28×28 but
+    decodes to 32×32, an unreconciled defect — it has no training loop; here
+    the default is self-consistent 32×32.)"""
+
     out_hw: int = 32
     out_ch: int = 1
-    features: Sequence[int] = (128, 64, 32)
+    features: Sequence[int] = (128, 128, 64, 32)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):
-        base = self.out_hw // 2 ** len(self.features)
+        base = self.out_hw // 2 ** (len(self.features) - 1)
         x = nn.Dense(base * base * self.features[0], dtype=self.dtype, name="fc")(z)
-        x = nn.relu(x).reshape(z.shape[0], base, base, self.features[0])
+        x = x.reshape(z.shape[0], base, base, self.features[0])
         for i, f in enumerate(self.features[1:], start=1):
-            x = ConvTranspose2dTorch(f, 4, 2, 1, dtype=self.dtype, name=f"deconv{i}")(x)
+            x = ConvTranspose2dTorch(
+                f, 3, 2, 1, output_padding=1, dtype=self.dtype, name=f"deconv{i}"
+            )(x)
             x = nn.relu(x)
-        x = ConvTranspose2dTorch(self.out_ch, 4, 2, 1, dtype=self.dtype, name="deconv_out")(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(x)
         return nn.sigmoid(x)
 
 

@@ -67,20 +67,21 @@ def reflect_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
 
 
 class ConvTranspose2dTorch(nn.Module):
-    """Transposed conv with torch ``ConvTranspose2d(in, out, k, s, p)``
-    output-size semantics: ``out = (in-1)*s - 2p + k``.
+    """Transposed conv with torch ``ConvTranspose2d(in, out, k, s, p,
+    output_padding=op)`` output-size semantics: ``out = (in-1)*s - 2p + k + op``.
 
     Implemented as ``conv_general_dilated`` with ``lhs_dilation=s`` and
-    padding ``k-1-p`` — a single fused XLA conv, no scatter. The kernel param
-    is stored in HWIO *already spatially flipped* relative to torch, so the
-    forward pass is a plain correlation; the checkpoint importer performs the
-    flip (see ``ckpt/torch_import.py``).
+    padding ``k-1-p`` (plus ``op`` on the high side) — a single fused XLA
+    conv, no scatter. The kernel param is stored in HWIO *already spatially
+    flipped* relative to torch, so the forward pass is a plain correlation;
+    the checkpoint importer performs the flip (see ``ckpt/torch_import.py``).
     """
 
     features: int
     kernel_size: int
     stride: int
     padding: int
+    output_padding: int = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -101,7 +102,7 @@ class ConvTranspose2dTorch(nn.Module):
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
+            padding=((pad, pad + self.output_padding), (pad, pad + self.output_padding)),
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )

@@ -194,3 +194,21 @@ def test_downsample_even_and_odd_paths(rng):
         ) + b
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
         assert got.shape[1:3] == ((h + 1) // 2, (w + 1) // 2)
+
+
+def test_conv_transpose_output_padding_matches_torch(rng):
+    """torch ConvTranspose2d(k3,s2,p1,output_padding=1) — the AE decoder's
+    exact upsampling block (simple_autoencoder.ipynb cell 4)."""
+    cin, cout = 4, 6
+    x = rng.standard_normal((2, 4, 4, cin)).astype(np.float32)
+    w_t = rng.standard_normal((cin, cout, 3, 3)).astype(np.float32) * 0.1
+    b_t = rng.standard_normal((cout,)).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w_t),
+        torch.from_numpy(b_t), stride=2, padding=1, output_padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    mod = ConvTranspose2dTorch(cout, 3, 2, 1, output_padding=1)
+    kernel = jnp.asarray(np.transpose(w_t[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+    got = np.asarray(mod.apply({"params": {"kernel": kernel, "bias": jnp.asarray(b_t)}}, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 8, 8, cout)
+    np.testing.assert_allclose(got, want, atol=1e-4)
