@@ -194,7 +194,99 @@ class GANTask:
         metrics.update(disc_loss=d_loss, gen_loss=g_loss)
         return state.replace(step=state.step + 1), metrics
 
+    def val_step(self, state: GANState, real: jnp.ndarray, rng: jax.Array) -> dict:
+        """Same losses as the training round without optimizer updates
+        (the reference's ``val_step``, wgan-gp.ipynb cell 37)."""
+        n = real.shape[0]
+        z = jax.random.normal(jax.random.fold_in(rng, 0), (n, self.z_dim))
+        fake, _ = self._gen_apply(state.gen_params, state.gen_stats, z, train=False)
+        if self.kind == "gan":
+            real_in = real.reshape(n, -1)
+        else:
+            real_in = real
+            fake = fake.reshape(real.shape)
+        c_fake, _ = self._disc_apply(state.disc_params, state.disc_stats, fake, train=False)
+        c_real, _ = self._disc_apply(state.disc_params, state.disc_stats, real_in, train=False)
+        if self.kind == "wgan-gp":
+            eps = jax.random.uniform(jax.random.fold_in(rng, 1), (n, 1, 1, 1))
+            mixed = eps * real_in + (1.0 - eps) * fake
+
+            def critic_scalar(m):
+                out, _ = self._disc_apply(state.disc_params, state.disc_stats, m, train=False)
+                return out.sum()
+
+            grad_x = jax.grad(critic_scalar)(mixed)
+            gnorm = jnp.sqrt(jnp.sum(grad_x**2, axis=(1, 2, 3)) + 1e-12)
+            gp = jnp.mean((gnorm - 1.0) ** 2)
+            disc_loss = c_fake.mean() - c_real.mean() + self.gp_lambda * gp
+            gen_loss = -c_fake.mean()
+        else:
+            disc_loss = 0.5 * (_bce_logits(c_fake, False) + _bce_logits(c_real, True))
+            gen_loss = _bce_logits(c_fake, True)
+        return {"disc_loss": disc_loss, "gen_loss": gen_loss}
+
     def jitted_step(self):
         if self._step_fn is None:
             self._step_fn = jax.jit(self.train_step, donate_argnums=(0,))
         return self._step_fn
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_iter,
+        epochs: int,
+        steps_per_epoch: int,
+        rng: jax.Array,
+        val_iter=None,
+        val_steps: int = 0,
+        state: GANState | None = None,
+    ) -> tuple[GANState, dict]:
+        """Epoch loop with train+val metric tracking — the shape of the
+        reference's ``training_fn`` (wgan-gp.ipynb cells 34-38). Returns the
+        final state and a results dict with per-epoch mean losses."""
+        init_rng, rng = jax.random.split(rng)
+        state = state if state is not None else self.init_state(init_rng)
+        step_fn = self.jitted_step()
+        val_fn = jax.jit(self.val_step)
+        results: dict[str, list] = {
+            "gen_train_loss": [], "disc_train_loss": [],
+            "gen_val_loss": [], "disc_val_loss": [],
+        }
+        k = 0
+        for epoch in range(epochs):
+            g, d = [], []
+            for _ in range(steps_per_epoch):
+                state, m = step_fn(state, next(train_iter), jax.random.fold_in(rng, k))
+                k += 1
+                g.append(float(m["gen_loss"]))
+                d.append(float(m["disc_loss"]))
+            results["gen_train_loss"].append(float(jnp.mean(jnp.array(g))))
+            results["disc_train_loss"].append(float(jnp.mean(jnp.array(d))))
+            if val_iter is not None and val_steps:
+                gv, dv = [], []
+                for _ in range(val_steps):
+                    m = val_fn(state, next(val_iter), jax.random.fold_in(rng, k))
+                    k += 1
+                    gv.append(float(m["gen_loss"]))
+                    dv.append(float(m["disc_loss"]))
+                results["gen_val_loss"].append(float(jnp.mean(jnp.array(gv))))
+                results["disc_val_loss"].append(float(jnp.mean(jnp.array(dv))))
+        return state, results
+
+    # ------------------------------------------------------------- model IO
+    def save_model_info(self, state: GANState, path: str) -> None:
+        """Persist generator+discriminator params/opt state (the reference's
+        ``save_model_info``, wgan-gp.ipynb cell 5) via orbax."""
+        from dgm_img_super_resolution_tpu.ckpt.orbax_io import save_checkpoint
+
+        save_checkpoint(
+            {"state": jax.device_get(state), "global_step": int(state.step)},
+            path, int(state.step), num_ckpt_keep=1,
+        )
+
+    def load_model_info(self, path: str) -> GANState | None:
+        from dgm_img_super_resolution_tpu.ckpt.orbax_io import load_checkpoint
+
+        target = {"state": jax.device_get(self.init_state(jax.random.PRNGKey(0))), "global_step": 0}
+        ckpt, _ = load_checkpoint(path, target=target)
+        return None if ckpt is None else ckpt["state"]

@@ -1,6 +1,8 @@
 from dgm_img_super_resolution_tpu.utils.misc import (  # noqa: F401
     cycle,
+    make_run_dir,
     num_to_groups,
+    set_seed,
     plot_img,
     reduce_metrics,
     tensors_to_np,

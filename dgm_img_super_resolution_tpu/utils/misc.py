@@ -49,6 +49,31 @@ def to_device(tree: Any, device=None, sharding=None) -> Any:
     return jax.tree_util.tree_map(lambda v: jax.device_put(v, target), tree)
 
 
+def set_seed(seed: int = 42) -> "jax.Array":
+    """Seed host-side RNGs and return the jax PRNGKey (the working version of
+    the reference's ``set_seed``, wgan-gp.ipynb cell 5 — in jax, determinism
+    on device comes from explicit keys, not global state)."""
+    import os
+    import random
+
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def make_run_dir(base: str, name: str = "run") -> str:
+    """Timestamped run directory (reference wgan-gp.ipynb cell 5's
+    timezone-stamped dirs)."""
+    import datetime
+    import os
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    path = os.path.join(base, f"{name}_{stamp}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def cycle(dl: Iterable) -> Iterator:
     """Endless iterator over a dataloader (reference model.py:63-66)."""
     while True:

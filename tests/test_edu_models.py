@@ -110,3 +110,34 @@ def test_ddpm_task_loss_and_sampling():
     samples = task.sample(jax.device_get(state.params), jax.random.PRNGKey(2), n=2)
     assert samples.shape == (2, 16, 16, 1)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_gan_fit_with_val_and_model_io(tmp_path, mnist32):
+    from dgm_img_super_resolution_tpu.utils import set_seed
+
+    rng = set_seed(0)
+    imgs, _ = synthetic_mnist(8, seed=3)
+    x = jnp.asarray(to_model_input(imgs, 28))
+    task = GANTask(HP, kind="wgan-gp", img_shape=(28, 28, 1))
+    data = iter(lambda: x, None)
+    state, results = task.fit(
+        data, epochs=2, steps_per_epoch=1, rng=rng, val_iter=data, val_steps=1
+    )
+    assert len(results["gen_train_loss"]) == 2
+    assert len(results["gen_val_loss"]) == 2
+    assert all(np.isfinite(v) for v in results["disc_val_loss"])
+    # save/load round trip
+    task.save_model_info(state, str(tmp_path))
+    loaded = task.load_model_info(str(tmp_path))
+    a = jax.tree_util.tree_leaves(state.gen_params)[0]
+    b = jax.tree_util.tree_leaves(loaded.gen_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_make_run_dir(tmp_path):
+    from dgm_img_super_resolution_tpu.utils import make_run_dir
+
+    p = make_run_dir(str(tmp_path), "exp")
+    import os
+
+    assert os.path.isdir(p) and "exp_" in os.path.basename(p)
