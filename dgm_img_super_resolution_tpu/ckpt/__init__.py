@@ -2,6 +2,7 @@ from dgm_img_super_resolution_tpu.ckpt.orbax_io import (  # noqa: F401
     get_all_ckpts,
     get_last_checkpoint,
     load_checkpoint,
+    load_ckpt,
     save_checkpoint,
 )
 from dgm_img_super_resolution_tpu.ckpt.torch_import import (  # noqa: F401

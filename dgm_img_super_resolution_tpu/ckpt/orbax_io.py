@@ -70,6 +70,77 @@ def save_checkpoint(state: Any, work_dir: str, global_step: int, num_ckpt_keep: 
     return path
 
 
+def load_ckpt(
+    params: Any,
+    ckpt_base_dir: str,
+    model_name: str = "",
+    force: bool = True,
+    strict: bool = True,
+    steps: int | None = None,
+) -> Any:
+    """Flexible sub-model loader — the reference's ``load_ckpt``
+    (``model.py:1463-1496``): merge matching entries from a checkpoint into
+    ``params``, selecting a subtree by ``model_name`` (e.g. ``"rrdb"``) and,
+    under ``strict=False``, silently dropping missing keys and
+    shape-mismatched tensors. Accepts an orbax work dir / specific ckpt dir,
+    or a torch ``.ckpt/.pt/.pth`` file (routed through the torch importer) —
+    the path the ``rrdb_ckpt`` config key (config.yaml:46) describes.
+    """
+    from flax import traverse_util
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    # --- obtain the source tree
+    if os.path.isfile(ckpt_base_dir) and ckpt_base_dir.endswith((".ckpt", ".pt", ".pth")):
+        from dgm_img_super_resolution_tpu.ckpt.torch_import import import_srdiff_checkpoint
+
+        src, _ = import_srdiff_checkpoint(ckpt_base_dir, strict=False)
+    else:
+        if _CKPT_RE.search(os.path.basename(ckpt_base_dir)):
+            src = _restore(ckpt_base_dir)
+        else:
+            src, _ = get_last_checkpoint(ckpt_base_dir, steps)
+        if src is None:
+            if force:
+                raise FileNotFoundError(f"no checkpoint under {ckpt_base_dir!r}")
+            return params
+        for key in ("state", "params"):
+            if isinstance(src, dict) and key in src:
+                src = src[key]
+    if model_name:
+        for part in model_name.split("/"):
+            if not (isinstance(src, dict) and part in src):
+                if strict:
+                    raise KeyError(f"subtree {model_name!r} not in checkpoint")
+                return params
+            src = src[part]
+
+    flat_dst = traverse_util.flatten_dict(params)
+    flat_src = traverse_util.flatten_dict(src)
+    merged, skipped = {}, []
+    for path, v in flat_dst.items():
+        s = flat_src.get(path)
+        if s is None:
+            if strict:
+                raise KeyError(f"checkpoint missing param {'/'.join(map(str, path))}")
+            merged[path] = v
+            continue
+        if tuple(np.shape(s)) != tuple(np.shape(v)):
+            if strict:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(map(str, path))}: "
+                    f"{np.shape(s)} vs {np.shape(v)}"
+                )
+            skipped.append("/".join(map(str, path)))
+            merged[path] = v
+            continue
+        merged[path] = jnp.asarray(s, jnp.asarray(v).dtype)
+    if skipped:
+        print(f"| load_ckpt: skipped {len(skipped)} shape-mismatched params (e.g. {skipped[:3]})")
+    return traverse_util.unflatten_dict(merged)
+
+
 def load_checkpoint(work_dir: str, steps: int | None = None, target: Any = None) -> tuple[Any, int]:
     """Restore the newest (or a specific-step) checkpoint → ``(state, step)``.
     Returns ``(None, 0)`` when none exists (fresh run)."""

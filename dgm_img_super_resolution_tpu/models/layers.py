@@ -16,6 +16,11 @@ Semantics parity notes (for the checkpoint importer & golden tests):
 - ``Downsample``: ReflectionPad(1) + Conv3x3 stride 2 — ``model.py:494-503``.
 - ``LinearAttention``: softmax-over-keys linear attention — ``model.py:506-522``
   (with the reference's dead-einops-import defect fixed, not replicated).
+
+Intentionally omitted: the reference's fairseq-style ``MultiheadAttention``
+(``model.py:525-667``) is dead code — never instantiated anywhere in the repo
+(SURVEY.md §2.2); the SD path's real attention lives in ``models/sd/attention
+.py`` (Pallas flash attention + XLA reference).
 """
 
 from __future__ import annotations

@@ -52,9 +52,20 @@ class SRDiffTask:
         return total, metrics
 
     def init_params(self, rng: jax.Array):
+        import os
+
         params = init_srdiff_params(
             self.diffusion, rng, self.hp, hr_size=self.hp.get("patch_size", 160)
         )
+        rrdb_ckpt = str(self.hp.get("rrdb_ckpt", ""))
+        if self.hp.get("use_rrdb", True) and rrdb_ckpt and os.path.exists(rrdb_ckpt):
+            # upstream SRDiff trains the RRDB encoder separately and loads it
+            # via load_ckpt (`rrdb_ckpt`, config.yaml:46)
+            from dgm_img_super_resolution_tpu.ckpt.orbax_io import load_ckpt
+
+            params["rrdb"] = load_ckpt(
+                params["rrdb"], rrdb_ckpt, model_name="rrdb", strict=False
+            )
         if self.use_wn:
             from dgm_img_super_resolution_tpu.models.param_transforms import wn_split
 

@@ -118,3 +118,53 @@ def test_orbax_save_load_and_retention(tmp_path, tiny_params):
 def test_load_checkpoint_empty_dir(tmp_path):
     state, step = load_checkpoint(str(tmp_path / "nothing"))
     assert state is None and step == 0
+
+
+def test_load_ckpt_partial_merge_and_shape_pruning(tiny_params, tmp_path):
+    from dgm_img_super_resolution_tpu.ckpt.orbax_io import load_ckpt, save_checkpoint
+
+    save_checkpoint({"params": tiny_params}, str(tmp_path), 7)
+    import jax.numpy as jnp
+    import jax
+
+    # fresh target with one leaf reshaped → skipped under strict=False
+    target = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), tiny_params)
+    merged = load_ckpt(target, str(tmp_path), strict=False)
+    src_leaf = np.asarray(jax.tree_util.tree_leaves(tiny_params)[0])
+    out_leaf = np.asarray(jax.tree_util.tree_leaves(merged)[0])
+    np.testing.assert_allclose(out_leaf, src_leaf)
+
+    # subtree selection
+    rrdb_only = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), tiny_params["rrdb"])
+    merged_rrdb = load_ckpt(rrdb_only, str(tmp_path), model_name="rrdb", strict=True)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(merged_rrdb)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tiny_params["rrdb"])[0]),
+    )
+
+    # strict missing-key raises
+    import pytest as _pytest
+
+    with _pytest.raises((KeyError, ValueError)):
+        load_ckpt({"nope": jnp.zeros((2,))}, str(tmp_path), strict=True)
+
+
+def test_rrdb_ckpt_hparam_loads_encoder(tiny_params, tmp_path):
+    from dgm_img_super_resolution_tpu.ckpt.orbax_io import save_checkpoint
+    from dgm_img_super_resolution_tpu.core.config import Hparams
+    from dgm_img_super_resolution_tpu.train.tasks.srdiff import SRDiffTask
+
+    save_checkpoint({"params": tiny_params}, str(tmp_path), 3)
+    hp = Hparams(
+        hidden_size=8, rrdb_num_block=3, rrdb_num_feat=8, timesteps=4,
+        unet_dim_mults="1|2", patch_size=16, compute_dtype="float32",
+        rrdb_ckpt=str(tmp_path),
+    )
+    task = SRDiffTask(hp)
+    import jax
+
+    params = task.init_params(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(params["rrdb"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(tiny_params["rrdb"])[0]),
+    )
