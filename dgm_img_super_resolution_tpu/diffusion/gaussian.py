@@ -225,8 +225,9 @@ class GaussianDiffusion:
         """
         shape = tuple(shape) if shape is not None else img_lr_up.shape
         b = shape[0]
-        rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
-        cond = self._project_cond(params, cond)
+        with jax.named_scope("rrdb_cond"):
+            rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
+            cond = self._project_cond(params, cond)
         rng_init, rng_steps = jax.random.split(rng)
         if self.res:
             x = jax.random.normal(rng_init, shape, jnp.float32)
@@ -245,7 +246,8 @@ class GaussianDiffusion:
             return x_next, None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        x, intermediates = jax.lax.scan(step, x, ts)
+        with jax.named_scope("sampler_scan"):
+            x, intermediates = jax.lax.scan(step, x, ts)
         img = self.res2img(x, img_lr_up)
         if save_intermediate:
             return img, rrdb_out, intermediates

@@ -109,9 +109,11 @@ class Trainer:
             loss, metrics = self.loss_fn(params, batch, rng)
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(state.params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        with jax.named_scope("loss_and_grad"):
+            (loss, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(state.params)
+        with jax.named_scope("optimizer_update"):
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
         ema_params = state.ema_params
         if ema_params is not None:
             d = self.ema_decay
