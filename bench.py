@@ -20,7 +20,19 @@ BASELINE_UPSCALES_PER_SEC = 1.0 / 15.0  # reference: ~15 s per image (CPU)
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the (slow,
+    # tunnel-bound) XLA compile of the 100-step sampler
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+    except Exception:
+        pass
 
     from dgm_img_super_resolution_tpu.core.config import Hparams
     from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
