@@ -170,3 +170,29 @@ def test_interpolate_runs(tiny_diffusion):
     out = d.interpolate(params, x1, x2, lr, lr_up, jax.random.PRNGKey(0), t=4, lam=0.5)
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sampler_golden_regression():
+    """Pin the full ancestral-sampler numerics against a stored golden output
+    (float32, fixed seeds) — catches accidental drift from future kernel or
+    schedule rewrites. Regenerate tests/golden/sampler_tiny.npz ONLY for an
+    intentional semantics change."""
+    import os
+
+    import numpy as np
+
+    from dgm_img_super_resolution_tpu.core.config import Hparams
+    from dgm_img_super_resolution_tpu.models.factory import build_srdiff, init_srdiff_params
+
+    hp = Hparams(hidden_size=8, rrdb_num_block=3, rrdb_num_feat=8, timesteps=8,
+                 unet_dim_mults="1|2", compute_dtype="float32")
+    d = build_srdiff(hp)
+    params = init_srdiff_params(d, jax.random.PRNGKey(123), hp, hr_size=16)
+    rng = np.random.default_rng(7)
+    lr = jnp.asarray(rng.uniform(-1, 1, (1, 4, 4, 3)).astype(np.float32))
+    lr_up = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32))
+    img, _ = jax.jit(lambda p, a, b, k: d.sample(p, a, b, k))(
+        params, lr, lr_up, jax.random.PRNGKey(99)
+    )
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "sampler_tiny.npz"))
+    np.testing.assert_allclose(np.asarray(img), golden["img"], atol=2e-4)
