@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from dgm_img_super_resolution_tpu.core.config import Hparams
 from dgm_img_super_resolution_tpu.models.factory import build_srdiff, init_srdiff_params
-from dgm_img_super_resolution_tpu.ops.image import extract_patches, merge_patches, uint8_to_pm1
+from dgm_img_super_resolution_tpu.ops.image import (
+    extract_patches,
+    extract_tiles,
+    merge_patches,
+    merge_tiles,
+    uint8_to_pm1,
+)
 from dgm_img_super_resolution_tpu.ops.resize import resize
 from dgm_img_super_resolution_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
@@ -117,19 +123,33 @@ class SRDiffPipeline:
 
         return jax.jit(run)
 
-    def upscale_large(self, image, patch: int = 64, rng: jax.Array | None = None) -> np.ndarray:
+    def upscale_large(
+        self, image, patch: int = 64, overlap: int = 0, rng: jax.Array | None = None
+    ) -> np.ndarray:
         """Patch-parallel SR for large LR images: split the LR grid into
         ``patch``-sized tiles, shard tiles over the mesh as a batch, stitch the
         SR tiles (the TPU-native version of the reference's crop-wise eval via
-        ``ImgMerger`` + ``test_crop_size``, ``model.py:108-145``)."""
+        ``ImgMerger`` + ``test_crop_size``, ``model.py:108-145``).
+
+        ``overlap`` (LR pixels) enables seamless tiling: tiles overlap and the
+        merge feather-blends the seams — beyond-reference quality for big
+        images; ``overlap=0`` reproduces the reference's hard-edged grid."""
         img = np.asarray(image)
         x = uint8_to_pm1(img) if img.dtype == np.uint8 else jnp.asarray(img, jnp.float32)
         h, w = x.shape[:2]
+        scale = self.hp["sr_scale"]
+        if overlap > 0 and h >= patch and w >= patch:
+            tiles, coords = extract_tiles(x[None], patch, overlap)
+            sr_tiles = self.upscale_batch(np.asarray(tiles), rng)
+            out = merge_tiles(
+                jnp.asarray(sr_tiles), coords, (h * scale, w * scale),
+                scale=scale, overlap=overlap, n=1,
+            )
+            return np.asarray(out[0])
         ph = int(np.ceil(h / patch)) * patch
         pw = int(np.ceil(w / patch)) * patch
         x = jnp.pad(x[None], ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="reflect")
         patches, grid = extract_patches(x, patch)
         sr_patches = self.upscale_batch(np.asarray(patches), rng)
-        scale = self.hp["sr_scale"]
         out = merge_patches(jnp.asarray(sr_patches), grid, n=1)
         return np.asarray(out[0, : h * scale, : w * scale])

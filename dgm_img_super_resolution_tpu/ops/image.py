@@ -14,6 +14,7 @@ range (the reference app's ImageNet-normalisation mismatch at
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -67,6 +68,79 @@ def merge_patches(patches: jnp.ndarray, grid: tuple[int, int], n: int = 1) -> jn
     _, p, _, c = patches.shape
     y = patches.reshape(n, gy, gx, p, p, c).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(n, gy * p, gx * p, c)
+
+
+def tile_positions(length: int, patch: int, stride: int) -> list[int]:
+    """Start offsets covering [0, length) with ``patch``-sized tiles at
+    ``stride``; the final tile is right-aligned so the edge is always covered."""
+    if length <= patch:
+        return [0]
+    pos = list(range(0, length - patch + 1, stride))
+    if pos[-1] != length - patch:
+        pos.append(length - patch)
+    return pos
+
+
+def extract_tiles(
+    x: jnp.ndarray, patch: int, overlap: int = 0
+) -> tuple[jnp.ndarray, list[tuple[int, int]]]:
+    """Split NHWC into overlapping tiles. Returns ``(tiles, coords)`` with
+    tiles ``(N*T, patch, patch, C)`` and coords the (y, x) start offsets."""
+    n, h, w, _ = x.shape
+    stride = patch - overlap
+    assert stride > 0, "overlap must be < patch"
+    ys = tile_positions(h, patch, stride)
+    xs = tile_positions(w, patch, stride)
+    coords = [(y, xx) for y in ys for xx in xs]
+    tiles = jnp.concatenate(
+        [x[:, y : y + patch, xx : xx + patch, :] for y, xx in coords], axis=0
+    )
+    return tiles, coords
+
+
+def _feather(length: int, ramp: int) -> np.ndarray:
+    """1-D blend window: linear ramps of ``ramp`` samples at both ends
+    (minimum weight 1/(ramp+1) > 0 so sum-normalisation stays well-defined
+    at image borders), flat 1 in the interior."""
+    w = np.ones(length, np.float32)
+    if ramp > 0:
+        r = (np.arange(1, min(ramp, length) + 1, dtype=np.float32)) / (ramp + 1)
+        w[: len(r)] = np.minimum(w[: len(r)], r)
+        w[-len(r):] = np.minimum(w[-len(r):], r[::-1])
+    return w
+
+
+def merge_tiles(
+    tiles: jnp.ndarray,
+    coords: list[tuple[int, int]],
+    out_hw: tuple[int, int],
+    scale: int = 1,
+    overlap: int = 0,
+    n: int = 1,
+) -> jnp.ndarray:
+    """Feather-blended inverse of :func:`extract_tiles` after per-tile ×scale
+    SR: overlapping regions blend with linear ramps (weights sum-normalised),
+    eliminating tile seams. ``coords`` are LR offsets; output is HR."""
+    t, p, _, c = tiles.shape
+    n_tiles = len(coords)
+    assert t == n_tiles * n
+    oh, ow = out_hw
+    win = _feather(p, overlap * scale)
+    w2 = jnp.asarray(np.outer(win, win))[None, :, :, None]
+    acc = jnp.zeros((n, oh, ow, c), tiles.dtype)
+    wacc = jnp.zeros((n, oh, ow, 1), tiles.dtype)
+    for i, (y, xx) in enumerate(coords):
+        tile = tiles[i * n : (i + 1) * n] * w2
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (0, y * scale, xx * scale, 0), (n, p, p, c)) + tile,
+            (0, y * scale, xx * scale, 0),
+        )
+        wacc = jax.lax.dynamic_update_slice(
+            wacc,
+            jax.lax.dynamic_slice(wacc, (0, y * scale, xx * scale, 0), (n, p, p, 1)) + w2,
+            (0, y * scale, xx * scale, 0),
+        )
+    return acc / wacc
 
 
 class ImgMerger:

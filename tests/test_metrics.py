@@ -94,3 +94,30 @@ def test_img_merger_stitches_and_calls_eval(rng):
             out = merger.push([patch], (x, y), (2, 3))
     assert out == {"ok": True}
     np.testing.assert_array_equal(calls["img"], full)
+
+
+def test_tile_positions_cover_and_right_align():
+    from dgm_img_super_resolution_tpu.ops.image import tile_positions
+
+    assert tile_positions(16, 8, 8) == [0, 8]
+    assert tile_positions(20, 8, 6) == [0, 6, 12]
+    assert tile_positions(21, 8, 6) == [0, 6, 12, 13]  # right-aligned tail
+    assert tile_positions(6, 8, 8) == [0]
+
+
+def test_overlap_tiling_exact_for_local_sr(rng):
+    """Feathered merge is exact when per-tile SR equals whole-image SR on the
+    overlap (nearest-neighbour upsample is local → identical content, so the
+    normalised blend must reconstruct it bit-for-bit up to fp rounding)."""
+    import jax.numpy as jnp
+
+    from dgm_img_super_resolution_tpu.ops.image import extract_tiles, merge_tiles
+    from dgm_img_super_resolution_tpu.ops.resize import nearest_upsample
+
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 20, 28, 3)).astype(np.float32))
+    scale, patch, overlap = 4, 8, 3
+    tiles, coords = extract_tiles(x, patch, overlap)
+    sr_tiles = nearest_upsample(tiles, scale)
+    out = merge_tiles(sr_tiles, coords, (20 * scale, 28 * scale), scale, overlap, n=1)
+    ref = nearest_upsample(x, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
