@@ -168,3 +168,22 @@ def test_rrdb_ckpt_hparam_loads_encoder(tiny_params, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(params["rrdb"])[0]),
         np.asarray(jax.tree_util.tree_leaves(tiny_params["rrdb"])[0]),
     )
+
+
+def test_torch_key_roundtrip_with_attention():
+    """use_attn=True adds Residual(Rezero(LinearAttention)) params — their
+    torch-schema mapping (mid_attn.fn.g / fn.fn.to_qkv / fn.fn.to_out) must
+    round-trip too."""
+    hp = Hparams(
+        compute_dtype="float32", hidden_size=8, rrdb_num_block=3,
+        rrdb_num_feat=8, timesteps=4, use_attn=True,
+    )
+    d = build_srdiff(hp)
+    params = init_srdiff_params(d, jax.random.PRNGKey(1), hp, hr_size=16)
+    sd = export_srdiff_to_torch_keys(params)
+    assert "denoise_fn.mid_attn.fn.g" in sd
+    assert "denoise_fn.mid_attn.fn.fn.to_qkv.weight" in sd
+    back, unused = convert_srdiff_state_dict(sd)
+    assert not unused
+    for k_a, v_a in _flat_leaves(params).items():
+        np.testing.assert_allclose(v_a, _flat_leaves(back)[k_a], atol=1e-6, err_msg=k_a)
