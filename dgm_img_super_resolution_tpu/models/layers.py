@@ -17,10 +17,11 @@ Semantics parity notes (for the checkpoint importer & golden tests):
 - ``LinearAttention``: softmax-over-keys linear attention — ``model.py:506-522``
   (with the reference's dead-einops-import defect fixed, not replicated).
 
-Intentionally omitted: the reference's fairseq-style ``MultiheadAttention``
-(``model.py:525-667``) is dead code — never instantiated anywhere in the repo
-(SURVEY.md §2.2); the SD path's real attention lives in ``models/sd/attention
-.py`` (Pallas flash attention + XLA reference).
+``MultiheadAttention`` reproduces the reference's fairseq-style module
+(``model.py:525-667``) — dead code there (never instantiated, SURVEY.md §2.2)
+but provided for line-by-line inventory parity; the SD path's production
+attention lives in ``models/sd/attention.py`` (Pallas flash attention + XLA
+reference).
 """
 
 from __future__ import annotations
@@ -364,6 +365,115 @@ class LinearAttention(nn.Module):
         out = jnp.einsum("nhde,nthd->nthe", context, q)  # (n, hw, heads, d)
         out = out.reshape(n, h, w, hidden)
         return nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="to_out")(out)
+
+
+class MultiheadAttention(nn.Module):
+    """Fairseq-style multi-head attention, batch-first ``[B, T, C]``.
+
+    Capability twin of the reference's ``MultiheadAttention``
+    (``srdiff/model.py:525-667``, a wrapper over
+    ``F.multi_head_attention_forward``): packed q/k/v in-projection, optional
+    ``bias_k``/``bias_v`` (appended as an extra attention position), optional
+    ``add_zero_attn``, ``key_padding_mask`` (True/1 = pad), additive or
+    boolean ``attn_mask``, and ``need_weights`` / ``need_head_weights`` /
+    ``before_softmax`` return modes. Dead code in the reference (never
+    instantiated) — implemented for inventory parity and twin-tested against
+    ``torch.nn.functional.multi_head_attention_forward``.
+
+    Parameters are stored Flax-style: ``in_proj/kernel`` is ``(E, 3E)``
+    (= torch ``in_proj_weight.T``), ``out_proj/kernel`` ``(E, E)``.
+    Dropout is omitted (inference semantics — the reference only ever runs
+    ``self.training=False`` paths since it is never trained).
+    """
+
+    embed_dim: int
+    num_heads: int
+    bias: bool = True
+    add_bias_kv: bool = False
+    add_zero_attn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key=None,
+        value=None,
+        key_padding_mask=None,
+        need_weights: bool = True,
+        attn_mask=None,
+        before_softmax: bool = False,
+        need_head_weights: bool = False,
+    ):
+        if need_head_weights:
+            need_weights = True
+        key = query if key is None else key
+        value = key if value is None else value
+        e, h = self.embed_dim, self.num_heads
+        d = e // h
+        assert d * h == e, "embed_dim must be divisible by num_heads"
+        b, tq, _ = query.shape
+        scaling = d**-0.5
+
+        wqkv = self.param(
+            "in_proj_kernel", nn.initializers.xavier_uniform(), (e, 3 * e), jnp.float32
+        )
+        bqkv = (
+            self.param("in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32)
+            if self.bias
+            else jnp.zeros((3 * e,), jnp.float32)
+        )
+        q = query.astype(self.dtype) @ wqkv[:, :e].astype(self.dtype) + bqkv[:e].astype(self.dtype)
+        k = key.astype(self.dtype) @ wqkv[:, e : 2 * e].astype(self.dtype) + bqkv[e : 2 * e].astype(self.dtype)
+        v = value.astype(self.dtype) @ wqkv[:, 2 * e :].astype(self.dtype) + bqkv[2 * e :].astype(self.dtype)
+        q = q * scaling
+
+        if self.add_bias_kv:
+            bias_k = self.param("bias_k", nn.initializers.normal(0.02), (1, 1, e), jnp.float32)
+            bias_v = self.param("bias_v", nn.initializers.normal(0.02), (1, 1, e), jnp.float32)
+            k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(self.dtype), (b, 1, e))], 1)
+            v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(self.dtype), (b, 1, e))], 1)
+            if attn_mask is not None:
+                attn_mask = jnp.pad(attn_mask, ((0, 0), (0, 1)))
+            if key_padding_mask is not None:
+                key_padding_mask = jnp.pad(key_padding_mask, ((0, 0), (0, 1)))
+        if self.add_zero_attn:
+            k = jnp.concatenate([k, jnp.zeros((b, 1, e), k.dtype)], 1)
+            v = jnp.concatenate([v, jnp.zeros((b, 1, e), v.dtype)], 1)
+            if attn_mask is not None:
+                attn_mask = jnp.pad(attn_mask, ((0, 0), (0, 1)))
+            if key_padding_mask is not None:
+                key_padding_mask = jnp.pad(key_padding_mask, ((0, 0), (0, 1)))
+        tk = k.shape[1]
+
+        q = q.reshape(b, tq, h, d)
+        k = k.reshape(b, tk, h, d)
+        v = v.reshape(b, tk, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                logits = jnp.where(attn_mask[None, None], -jnp.inf, logits)
+            else:
+                logits = logits + attn_mask[None, None].astype(jnp.float32)
+        if key_padding_mask is not None:
+            pad = key_padding_mask.astype(jnp.bool_)[:, None, None, :]
+            logits = jnp.where(pad, -jnp.inf, logits)
+        if before_softmax:
+            return logits, v
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v).reshape(b, tq, e)
+        wo = self.param("out_proj_kernel", nn.initializers.xavier_uniform(), (e, e), jnp.float32)
+        bo = (
+            self.param("out_proj_bias", nn.initializers.zeros, (e,), jnp.float32)
+            if self.bias
+            else jnp.zeros((e,), jnp.float32)
+        )
+        out = out @ wo.astype(out.dtype) + bo.astype(out.dtype)
+        if not need_weights:
+            return out, None
+        if need_head_weights:
+            return out, probs  # (B, H, Tq, Tk)
+        return out, probs.mean(axis=1)  # averaged over heads, torch semantics
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:

@@ -319,3 +319,79 @@ def test_full_diffusion_training_forward_parity(stacks):
     np.testing.assert_allclose(
         np.asarray(eps_j), eps_t.permute(0, 2, 3, 1).numpy(), atol=5e-5, rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# MultiheadAttention vs torch.nn.functional.multi_head_attention_forward
+# (the reference's fairseq-style MHA, srdiff/model.py:525-667, is a thin
+# wrapper over this torch functional — dead code there, twin-tested here).
+
+
+@pytest.mark.parametrize(
+    "bias_kv,zero_attn,masks",
+    [(False, False, False), (True, False, False), (False, True, False), (False, False, True)],
+)
+def test_multihead_attention_matches_torch(bias_kv, zero_attn, masks):
+    from dgm_img_super_resolution_tpu.models.layers import MultiheadAttention
+
+    e, h, b, tq, tk = 16, 4, 2, 5, 7
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((b, tq, e)).astype(np.float32)
+    k = rng.standard_normal((b, tk, e)).astype(np.float32)
+    v = rng.standard_normal((b, tk, e)).astype(np.float32)
+
+    mha = MultiheadAttention(embed_dim=e, num_heads=h, add_bias_kv=bias_kv, add_zero_attn=zero_attn)
+    params = mha.init(jax.random.PRNGKey(0), jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+
+    attn_mask = key_padding_mask = None
+    t_attn_mask = t_kpm = None
+    if masks:
+        attn_mask = (rng.standard_normal((tq, tk)) * 0.5).astype(np.float32)
+        key_padding_mask = np.zeros((b, tk), np.bool_)
+        key_padding_mask[:, -2:] = True  # pad last two keys (never a full row)
+        t_attn_mask = torch.from_numpy(attn_mask)
+        t_kpm = torch.from_numpy(key_padding_mask)
+
+    out, w = mha.apply(
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        attn_mask=jnp.asarray(attn_mask) if masks else None,
+        key_padding_mask=jnp.asarray(key_padding_mask) if masks else None,
+    )
+
+    p = params["params"]
+    in_w = torch.from_numpy(np.asarray(p["in_proj_kernel"]).T.copy())
+    in_b = torch.from_numpy(np.asarray(p["in_proj_bias"]))
+    out_w = torch.from_numpy(np.asarray(p["out_proj_kernel"]).T.copy())
+    out_b = torch.from_numpy(np.asarray(p["out_proj_bias"]))
+    bias_k = bias_v = None
+    if bias_kv:
+        bias_k = torch.from_numpy(np.asarray(p["bias_k"]))
+        bias_v = torch.from_numpy(np.asarray(p["bias_v"]))
+    t_out, t_w = F.multi_head_attention_forward(
+        torch.from_numpy(q).transpose(0, 1),
+        torch.from_numpy(k).transpose(0, 1),
+        torch.from_numpy(v).transpose(0, 1),
+        e, h, in_w, in_b, bias_k, bias_v, zero_attn, 0.0, out_w, out_b,
+        training=False, key_padding_mask=t_kpm, need_weights=True, attn_mask=t_attn_mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.transpose(0, 1).detach().numpy(), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(w), t_w.detach().numpy(), rtol=2e-5, atol=2e-5)
+
+
+def test_multihead_attention_before_softmax_and_head_weights():
+    from dgm_img_super_resolution_tpu.models.layers import MultiheadAttention
+
+    e, h, b, t = 8, 2, 1, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32))
+    mha = MultiheadAttention(embed_dim=e, num_heads=h)
+    params = mha.init(jax.random.PRNGKey(1), x)
+    logits, v = mha.apply(params, x, before_softmax=True)
+    assert logits.shape == (b, h, t, t) and v.shape == (b, t, h, e // h)
+    out, w = mha.apply(params, x, need_head_weights=True)
+    assert out.shape == (b, t, e) and w.shape == (b, h, t, t)
+    # averaged weights are the head mean
+    _, w_avg = mha.apply(params, x)
+    np.testing.assert_allclose(np.asarray(w.mean(1)), np.asarray(w_avg), rtol=1e-6)
