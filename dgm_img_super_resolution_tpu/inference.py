@@ -79,15 +79,36 @@ class SRDiffPipeline:
 
         return jax.jit(run)
 
-    def upscale_batch(self, imgs, rng: jax.Array | None = None) -> np.ndarray:
-        """imgs: NHWC uint8 [0,255] or float [-1,1] LR batch → NHWC float
-        [0,1] SR batch at ×scale resolution."""
+    def upscale_batch_device(self, imgs, rng: jax.Array | None = None) -> jax.Array:
+        """Like :meth:`upscale_batch` but returns the device array without
+        fetching to host — for chained on-device post-processing and for
+        pipelined throughput (dispatch several batches, fetch at the end, so
+        device→host transfers overlap the next batch's compute)."""
         imgs = np.asarray(imgs)
         x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
+        # The UNet halves the HR grid once per down stage, so it must divide
+        # by 2^(stages). Reflect-pad the LR just enough (the reference never
+        # hits this — its app resizes every input to 256², st_app1.py:1583-
+        # 1591; we SR at native size and crop back).
+        h, w = int(x.shape[1]), int(x.shape[2])
+        scale = self.hp["sr_scale"]
+        div = 2 ** (len(self.hp.unet_dim_mults_tuple) - 1)
+        ph = next(p for p in range(div + 1) if (h + p) * scale % div == 0)
+        pw = next(p for p in range(div + 1) if (w + p) * scale % div == 0)
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         x = shard_batch(x, self.mesh)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         fn = self._sample_fn(x.shape[1], x.shape[2])
-        return np.asarray(fn(self.params, x, rng))
+        out = fn(self.params, x, rng)
+        if ph or pw:
+            out = out[:, : h * scale, : w * scale]
+        return out
+
+    def upscale_batch(self, imgs, rng: jax.Array | None = None) -> np.ndarray:
+        """imgs: NHWC uint8 [0,255] or float [-1,1] LR batch → NHWC float
+        [0,1] SR batch at ×scale resolution."""
+        return np.asarray(self.upscale_batch_device(imgs, rng))
 
     def upscale(self, image, rng: jax.Array | None = None) -> np.ndarray:
         """Single HWC image → HWC float [0,1] SR image (the

@@ -33,6 +33,18 @@ def test_cli_infer(tmp_path, img_dir):
     assert sr.shape == (64, 64, 3)
 
 
+def test_cli_infer_odd_size(tmp_path, img_dir, rng):
+    """Arbitrary (odd) input sizes must SR at native resolution: the LR is
+    reflect-padded so the UNet's down/up ladder closes, then cropped back
+    (the reference crashes off its fixed 256² resize for such sizes)."""
+    src = tmp_path / "odd.png"
+    Image.fromarray(rng.integers(0, 256, (15, 17, 3), dtype=np.uint8)).save(src)
+    out = tmp_path / "sr_odd.png"
+    rc = main(["infer", str(src), str(out), "-hp", HP])
+    assert rc == 0
+    assert np.asarray(Image.open(out)).shape == (60, 68, 3)
+
+
 def test_cli_test_dir_eval(tmp_path, img_dir, capsys):
     gen = tmp_path / "gen"
     rc = main(["test", str(img_dir), "--gen_dir", str(gen), "-hp", HP])
