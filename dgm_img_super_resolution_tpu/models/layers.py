@@ -26,7 +26,9 @@ reference).
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -194,6 +196,66 @@ def reflect_conv3x3_stride2(x, kernel, bias=None, dtype=jnp.float32):
     return y
 
 
+# ---------------------------------------------------------------------------
+# Pallas path for square narrow-channel reflect convs (the 512²/C=64 UNet
+# stages): row-pair-packed MXU kernel with the reflect border and Mish fused
+# in (ops/pallas/conv3x3.py). OPT-IN via DGMSR_PALLAS_CONV=1: the kernel
+# beats the standalone XLA conv at the hot shape (3.16 ms vs ~4.0 ms,
+# (8,512,512,64) bf16 on v5e) but measured *slower end-to-end inside the
+# sampler* (1.41 vs 1.61 img/s) — the custom-call boundary costs XLA its
+# cross-op fusion and layout freedom around every Block. Kept as measured,
+# tested infrastructure for shapes/compositions where the tradeoff flips.
+# Forward runs the kernel; backward recomputes through the XLA reference
+# formulation (training steps differentiate through Block).
+
+ROWPACK_INTERPRET = False  # tests set True to exercise the kernel on CPU
+
+
+def _rowpack_eligible(x, c_in: int, features: int) -> bool:
+    if not (os.environ.get("DGMSR_PALLAS_CONV") or ROWPACK_INTERPRET):
+        return False
+    if not (jax.default_backend() == "tpu" or ROWPACK_INTERPRET):
+        return False
+    return (
+        c_in == features
+        and features in (32, 64)
+        and x.ndim == 4
+        and x.shape[1] % 16 == 0
+        and x.shape[1] >= 32
+    )
+
+
+def _reflect_conv_mish_ref(x, kernel, bias, mish_act: bool, dtype):
+    y = reflect_conv3x3(x, kernel, bias, dtype=dtype)
+    return mish(y) if mish_act else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_reflect_conv(x, kernel, bias, mish_act, dtype):
+    from dgm_img_super_resolution_tpu.ops.pallas.conv3x3 import conv3x3_rowpack
+
+    return conv3x3_rowpack(
+        x.astype(dtype), kernel.astype(dtype), bias.astype(dtype),
+        mish=mish_act, border="reflect", interpret=ROWPACK_INTERPRET,
+    )
+
+
+def _fused_reflect_conv_fwd(x, kernel, bias, mish_act, dtype):
+    return _fused_reflect_conv(x, kernel, bias, mish_act, dtype), (x, kernel, bias)
+
+
+def _fused_reflect_conv_bwd(mish_act, dtype, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, k_, b_: _reflect_conv_mish_ref(x_, k_, b_, mish_act, dtype),
+        x, kernel, bias,
+    )
+    return vjp(g)
+
+
+_fused_reflect_conv.defvjp(_fused_reflect_conv_fwd, _fused_reflect_conv_bwd)
+
+
 class ReflectConv3x3(nn.Module):
     """Param container for :func:`reflect_conv3x3` (param paths match a plain
     ``nn.Conv`` named the same, so checkpoint translation is unchanged).
@@ -201,11 +263,16 @@ class ReflectConv3x3(nn.Module):
     ``x2`` (optional) is a second input whose channels continue ``x``'s — the
     pair is convolved as if ``concat([x, x2], -1)`` were the input, by slicing
     the kernel, WITHOUT materialising the concat buffer (the UNet up-stage
-    skip join; saves an HBM round-trip of the widest activation per stage)."""
+    skip join; saves an HBM round-trip of the widest activation per stage).
+
+    ``activation='mish'`` applies Mish after the conv — stated here (instead
+    of in the caller) so the Pallas fast path can fuse it into the kernel
+    epilogue; the XLA fallback applies it identically."""
 
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    activation: str | None = None
 
     @nn.compact
     def __call__(self, x, x2=None):
@@ -215,12 +282,17 @@ class ReflectConv3x3(nn.Module):
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        mish_act = self.activation == "mish"
+        if x2 is None and _rowpack_eligible(x, c_in, self.features):
+            return _fused_reflect_conv(x, kernel, bias, mish_act, self.dtype)
         if x2 is None:
-            return reflect_conv3x3(x, kernel, bias, dtype=self.dtype)
-        c1 = x.shape[-1]
-        return reflect_conv3x3(x, kernel[:, :, :c1], bias, dtype=self.dtype) + reflect_conv3x3(
-            x2, kernel[:, :, c1:], None, dtype=self.dtype
-        )
+            y = reflect_conv3x3(x, kernel, bias, dtype=self.dtype)
+        else:
+            c1 = x.shape[-1]
+            y = reflect_conv3x3(x, kernel[:, :, :c1], bias, dtype=self.dtype) + reflect_conv3x3(
+                x2, kernel[:, :, c1:], None, dtype=self.dtype
+            )
+        return mish(y) if mish_act else y
 
 
 class Block(nn.Module):
@@ -234,10 +306,15 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, x2=None):
-        y = ReflectConv3x3(self.dim_out, dtype=self.dtype, name="conv")(x, x2)
         if self.groups > 0:
+            y = ReflectConv3x3(self.dim_out, dtype=self.dtype, name="conv")(x, x2)
             y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(y)
-        return mish(y)
+            return mish(y)
+        # groups == 0 (the SRDiff config): conv→Mish with the activation
+        # delegated so the Pallas path fuses it into the kernel epilogue.
+        return ReflectConv3x3(
+            self.dim_out, dtype=self.dtype, name="conv", activation="mish"
+        )(x, x2)
 
 
 class Conv1x1Pair(nn.Module):
