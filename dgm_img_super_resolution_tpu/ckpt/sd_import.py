@@ -4,8 +4,13 @@ Translates locally-available ``stabilityai/stable-diffusion-x4-upscaler``
 weights (diffusers layout: ``unet/``, ``vae/``, ``text_encoder/`` with
 ``.safetensors`` or ``.bin`` state dicts) into this framework's Flax trees.
 No weights can be downloaded in this environment, so correctness is enforced
-by a round-trip test against a synthetic diffusers-style dict generated from
-the same rule table (tests/test_sd_import.py).
+two independent ways (tests/test_sd_import.py):
+
+1. a round-trip test (export → re-import → exact tree equality), and
+2. a NON-circular inventory check: ``ckpt/sd_inventory.py`` enumerates the
+   published checkpoint's keys+shapes structurally (independent of this
+   rule table), and :func:`translate_inventory` must map 100% of them onto
+   exactly the Flax init tree of the model built from the same config.
 
 Layout transforms: torch Conv OIHW → HWIO; Linear (O,I) → (I,O); norm
 weight/bias → scale/bias; embeddings pass through.
@@ -44,6 +49,9 @@ _UNET_RULES: list[tuple[str, str]] = [
     (r"^conv_norm_out\.(.*)$", r"norm_out/\1"),
     (r"^time_embedding\.linear_1\.(.*)$", r"time_embed_0/\1"),
     (r"^time_embedding\.linear_2\.(.*)$", r"time_embed_1/\1"),
+    # published x4-upscaler: noise-level table nn.Embedding(1000, 4*ch0)
+    (r"^class_embedding\.weight$", r"class_embedding/embedding"),
+    # timestep-style class embedding (class_embed_type="timestep" models)
     (r"^class_embedding\.linear_1\.(.*)$", r"class_embed_0/\1"),
     (r"^class_embedding\.linear_2\.(.*)$", r"class_embed_1/\1"),
     (r"^down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)$", r"down_\1_res_\2/\3"),
@@ -101,6 +109,35 @@ def _apply_rules(key: str, rules: list[tuple[str, str]]) -> str | None:
     return None
 
 
+def map_key(component: str, key: str) -> str | None:
+    """Full diffusers-key → flax-'/'-path mapping (sans leaf rename), shared
+    by :func:`convert_component` and :func:`translate_inventory`."""
+    if component == "unet":
+        path = _apply_rules(key, _UNET_RULES)
+        if path is not None and "/" in path:
+            head, tail = path.split("/", 1)
+            path = f"{head}/{_rewrite_unet_tail(tail)}"
+        return path
+    if component == "vae":
+        path = _apply_rules(key, _VAE_RULES)
+        if path is not None:
+            if "mid_attn/" in path:
+                head, tail = path.rsplit("mid_attn/", 1)
+                tail = re.sub(r"^group_norm\.", "norm.", tail)
+                # published x4-upscaler VAE uses the LEGACY AttentionBlock
+                # names (query/key/value/proj_attn); newer exports use
+                # to_q/to_k/to_v/to_out.0 — both map to this VAEAttention
+                tail = re.sub(r"^query\.", "to_q.", tail)
+                tail = re.sub(r"^key\.", "to_k.", tail)
+                tail = re.sub(r"^value\.", "to_v.", tail)
+                tail = re.sub(r"^proj_attn\.", "to_out.", tail)
+                tail = re.sub(r"^to_out\.0\.", "to_out.", tail)
+                path = f"{head}mid_attn/{tail}"
+            path = path.replace(".", "/")
+        return path
+    return _apply_rules(key, _CLIP_RULES)
+
+
 def _leaf_transform(flax_path: str, v: np.ndarray) -> tuple[str, np.ndarray]:
     """Rename the leaf (weight→kernel/scale) and fix the layout by rank."""
     parts = flax_path.split("/")
@@ -123,22 +160,7 @@ def convert_component(state_dict: dict[str, Any], component: str, strict: bool =
     unused: list[str] = []
     for key, value in state_dict.items():
         v = np.asarray(value.detach().cpu().numpy() if hasattr(value, "detach") else value)
-        if component == "unet":
-            path = _apply_rules(key, _UNET_RULES)
-            if path is not None and "/" in path:
-                head, tail = path.split("/", 1)
-                path = f"{head}/{_rewrite_unet_tail(tail)}"
-        elif component == "vae":
-            path = _apply_rules(key, _VAE_RULES)
-            if path is not None:
-                if "mid_attn/" in path:
-                    head, tail = path.rsplit("mid_attn/", 1)
-                    tail = re.sub(r"^group_norm\.", "norm.", tail)
-                    tail = re.sub(r"^to_out\.0\.", "to_out.", tail)
-                    path = f"{head}mid_attn/{tail}"
-                path = path.replace(".", "/")
-        else:
-            path = _apply_rules(key, _CLIP_RULES)
+        path = map_key(component, key)
         if path is None:
             unused.append(key)
             if strict:
@@ -147,6 +169,37 @@ def convert_component(state_dict: dict[str, Any], component: str, strict: bool =
         path, v = _leaf_transform(path, v)
         flat[tuple(path.split("/"))] = jnp.asarray(v, jnp.float32)
     return traverse_util.unflatten_dict(flat), unused
+
+
+def translate_inventory(
+    component: str, shapes: dict[str, tuple]
+) -> dict[tuple[str, ...], tuple]:
+    """Shape-level dry run of the importer: map every diffusers key of a
+    vendored inventory (``ckpt/sd_inventory.py``) to its Flax path and the
+    post-layout-transform shape, WITHOUT materialising tensors. Raises on any
+    untranslatable key — the non-circular coverage check."""
+    from dgm_img_super_resolution_tpu.ckpt.sd_inventory import IGNORABLE_KEYS
+
+    out: dict[tuple[str, ...], tuple] = {}
+    for key, shape in shapes.items():
+        if key in IGNORABLE_KEYS:
+            continue
+        path = map_key(component, key)
+        if path is None:
+            raise KeyError(f"importer drops {component} key {key!r}")
+        parts = path.split("/")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if len(shape) == 4:  # conv OIHW → HWIO
+                o, i, kh, kw = shape
+                out[tuple(parts[:-1] + ["kernel"])] = (kh, kw, i, o)
+            elif len(shape) == 2:  # linear (O,I) → (I,O)
+                out[tuple(parts[:-1] + ["kernel"])] = (shape[1], shape[0])
+            else:  # norm scale
+                out[tuple(parts[:-1] + ["scale"])] = shape
+        else:
+            out[tuple(parts)] = shape
+    return out
 
 
 def _read_state_dict(component_dir: str) -> dict[str, np.ndarray]:
@@ -180,7 +233,14 @@ def load_sd_x4_pipeline(ckpt_dir: str, dtype=jnp.bfloat16):
     text_tree, _ = convert_component(
         _read_state_dict(os.path.join(ckpt_dir, "text_encoder")), "text_encoder", strict=False
     )
-    bpe = os.path.join(ckpt_dir, "tokenizer", "bpe_simple_vocab_16e6.txt.gz")
-    tokenizer = SimpleTokenizer(bpe_path=bpe if os.path.exists(bpe) else None)
+    # a diffusers checkout ships the HF tokenizer files; the OpenAI merge
+    # list is accepted as an alternative
+    tok_dir = os.path.join(ckpt_dir, "tokenizer")
+    bpe = os.path.join(tok_dir, "bpe_simple_vocab_16e6.txt.gz")
+    tokenizer = SimpleTokenizer(
+        bpe_path=bpe if os.path.exists(bpe) else None,
+        vocab_json=os.path.join(tok_dir, "vocab.json"),
+        merges_txt=os.path.join(tok_dir, "merges.txt"),
+    )
     params = {"unet": unet_tree, "vae": vae_tree, "text_encoder": text_tree}
     return StableDiffusionUpscalePipeline(params=params, tokenizer=tokenizer, dtype=dtype)

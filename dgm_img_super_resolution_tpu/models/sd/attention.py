@@ -85,14 +85,20 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     use_flash: bool = False
     dtype: Dtype = jnp.float32
+    only_cross_attention: bool = False
+    """The published x4-upscaler UNet sets ``only_cross_attention`` on its
+    three cross-attn down/up levels: attn1 (normally self-attention) then
+    attends to the text states too (diffusers ``BasicTransformerBlock``
+    semantics) — its to_k/to_v take the 1024-wide encoder states."""
 
     @nn.compact
     def __call__(self, x, context=None):
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ctx1 = context if self.only_cross_attention else None
         x = x + MultiHeadAttention(
             self.heads, self.head_dim, dim, self.use_flash, self.dtype, name="attn1"
-        )(h)
+        )(h, ctx1)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + MultiHeadAttention(
             self.heads, self.head_dim, dim, self.use_flash, self.dtype, name="attn2"
@@ -110,6 +116,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     use_flash: bool = False
     dtype: Dtype = jnp.float32
+    only_cross_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -120,7 +127,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             y = BasicTransformerBlock(
                 self.heads, self.head_dim, self.use_flash, self.dtype,
-                name=f"block_{i}",
+                self.only_cross_attention, name=f"block_{i}",
             )(y, context)
         y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
         return res + y.reshape(n, h, w, c)

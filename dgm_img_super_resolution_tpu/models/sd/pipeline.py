@@ -59,6 +59,13 @@ class StableDiffusionUpscalePipeline:
                 vocab_size=1024, width=64, layers=2, heads=4, dtype=dtype
             )
             tokenizer = tokenizer or SimpleTokenizer(vocab_size=1024)
+        if unet is None and not tiny:
+            # full-size default = the published x4-upscaler architecture
+            # (vendored config — ckpt/sd_inventory.py), so random-init and
+            # checkpoint-import paths share one structure
+            from dgm_img_super_resolution_tpu.ckpt.sd_inventory import X4_UNET_CONFIG
+
+            unet = UNet2DCondition.from_config(X4_UNET_CONFIG, dtype=dtype)
         self.unet = unet or UNet2DCondition(dtype=dtype)
         self.vae = vae or AutoencoderKL(dtype=dtype)
         self.text_encoder = text_encoder or CLIPTextEncoder(dtype=dtype)

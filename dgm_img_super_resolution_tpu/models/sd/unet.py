@@ -56,10 +56,57 @@ class UNet2DCondition(nn.Module):
     layers_per_block: int = 2
     attn_levels: Sequence[int] = (1, 2, 3)  # levels with cross-attention
     head_dim: int = 64
+    num_heads: int | None = None
+    """SD-era diffusers semantics: ``attention_head_dim`` in the published
+    config is the *head count* (8 for the x4-upscaler); when set, every
+    attention uses ``num_heads`` heads of ``ch // num_heads`` dims. When
+    ``None``, heads are derived from ``head_dim`` instead."""
+    only_cross_attention: Sequence[bool] | None = None
+    """Per-level flags (published x4-upscaler: (True, True, True, False)):
+    attn1 in that level's transformer blocks cross-attends to the text
+    states instead of self-attending. ``None`` → all False."""
+    num_class_embeds: int | None = None
+    """When set (1000 in the published model), the class/noise-level
+    conditioning is a learned ``nn.Embed(num_class_embeds, 4*ch0)`` lookup
+    (diffusers ``class_embedding.weight``); when ``None``, a second
+    sinusoidal+MLP timestep embedding is used."""
     cross_attention_dim: int = 1024
     transformer_depth: int = 1
     use_flash: bool = False
     dtype: Dtype = jnp.float32
+
+    def _heads(self, ch: int) -> tuple[int, int]:
+        if self.num_heads is not None:
+            return self.num_heads, ch // self.num_heads
+        return ch // self.head_dim, self.head_dim
+
+    def _only_cross(self, level: int) -> bool:
+        if self.only_cross_attention is None:
+            return False
+        return bool(self.only_cross_attention[level])
+
+    @classmethod
+    def from_config(cls, cfg: dict, dtype=jnp.float32, use_flash: bool = False):
+        """Build from a diffusers-style config dict (see
+        ``ckpt/sd_inventory.py`` for the vendored x4-upscaler config)."""
+        down_types = cfg.get("down_block_types", ())
+        attn_levels = tuple(
+            i for i, t in enumerate(down_types) if "CrossAttn" in t
+        ) or tuple(cfg.get("attn_levels", (1, 2, 3)))
+        oc = cfg.get("only_cross_attention")
+        return cls(
+            in_channels=cfg.get("in_channels", 7),
+            out_channels=cfg.get("out_channels", 4),
+            block_out_channels=tuple(cfg.get("block_out_channels", (256, 512, 512, 1024))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            attn_levels=attn_levels,
+            num_heads=cfg.get("attention_head_dim"),  # SD-era: head COUNT
+            only_cross_attention=tuple(oc) if oc is not None else None,
+            num_class_embeds=cfg.get("num_class_embeds"),
+            cross_attention_dim=cfg.get("cross_attention_dim", 1024),
+            dtype=dtype,
+            use_flash=use_flash,
+        )
 
     @nn.compact
     def __call__(self, x, timesteps, encoder_hidden_states, class_labels=None):
@@ -72,10 +119,15 @@ class UNet2DCondition(nn.Module):
         temb = nn.Dense(tdim, dtype=self.dtype, name="time_embed_0")(temb)
         temb = nn.Dense(tdim, dtype=self.dtype, name="time_embed_1")(nn.silu(temb))
         if class_labels is not None:
-            # noise-level conditioning: a second sinusoidal embedding summed in
-            cemb = sinusoidal_pos_emb(class_labels, chs[0]).astype(self.dtype)
-            cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_0")(cemb)
-            cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_1")(nn.silu(cemb))
+            if self.num_class_embeds is not None:
+                cemb = nn.Embed(
+                    self.num_class_embeds, tdim, dtype=self.dtype, name="class_embedding"
+                )(class_labels)
+            else:
+                # timestep-style class conditioning (sinusoidal + MLP)
+                cemb = sinusoidal_pos_emb(class_labels, chs[0]).astype(self.dtype)
+                cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_0")(cemb)
+                cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_1")(nn.silu(cemb))
             temb = temb + cemb
 
         ctx = encoder_hidden_states
@@ -83,12 +135,13 @@ class UNet2DCondition(nn.Module):
         h = nn.Conv(chs[0], (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
         skips = [h]
         for i, ch in enumerate(chs):
+            nh, hd = self._heads(ch)
             for j in range(self.layers_per_block):
                 h = SDResBlock(ch, self.dtype, name=f"down_{i}_res_{j}")(h, temb)
                 if i in self.attn_levels:
                     h = Transformer2D(
-                        ch // self.head_dim, self.head_dim, self.transformer_depth,
-                        self.use_flash, self.dtype, name=f"down_{i}_attn_{j}",
+                        nh, hd, self.transformer_depth, self.use_flash, self.dtype,
+                        self._only_cross(i), name=f"down_{i}_attn_{j}",
                     )(h, ctx)
                 skips.append(h)
             if i < len(chs) - 1:
@@ -96,22 +149,24 @@ class UNet2DCondition(nn.Module):
                             dtype=self.dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
+        nh, hd = self._heads(chs[-1])
         h = SDResBlock(chs[-1], self.dtype, name="mid_res_0")(h, temb)
         h = Transformer2D(
-            chs[-1] // self.head_dim, self.head_dim, self.transformer_depth,
-            self.use_flash, self.dtype, name="mid_attn",
+            nh, hd, self.transformer_depth, self.use_flash, self.dtype,
+            name="mid_attn",
         )(h, ctx)
         h = SDResBlock(chs[-1], self.dtype, name="mid_res_1")(h, temb)
 
         for i, ch in enumerate(reversed(chs)):
             level = len(chs) - 1 - i
+            nh, hd = self._heads(ch)
             for j in range(self.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = SDResBlock(ch, self.dtype, name=f"up_{i}_res_{j}")(h, temb)
                 if level in self.attn_levels:
                     h = Transformer2D(
-                        ch // self.head_dim, self.head_dim, self.transformer_depth,
-                        self.use_flash, self.dtype, name=f"up_{i}_attn_{j}",
+                        nh, hd, self.transformer_depth, self.use_flash, self.dtype,
+                        self._only_cross(level), name=f"up_{i}_attn_{j}",
                     )(h, ctx)
             if level > 0:
                 h = nearest_upsample(h, 2)
