@@ -347,3 +347,81 @@ def import_srdiff_checkpoint(path: str, strict: bool = True) -> tuple[dict, int]
     if unused:
         print(f"| torch import: {len(unused)} unused keys (e.g. {unused[:3]})")
     return params, int(ckpt.get("global_step", 0))
+
+
+# ----------------------------------------------------------------- LPIPS
+# The reference scores LPIPS via the `lpips` pip package with an AlexNet
+# backbone (`lpips.LPIPS(net='alex')`, reference srdiff/model.py:1501,
+# 1530-1535). That package's state_dict layout:
+#   scaling_layer.shift/scale       — fixed constants (checked, not stored)
+#   net.slice{1..5}.{idx}.weight/bias — torchvision alexnet convs at their
+#     original `features` indices (0, 3, 6, 8, 10)
+#   lin{0..4}.model.1.weight        — 1×1 no-bias linear heads
+# This maps onto metrics/lpips.py::_LPIPSNet exactly.
+
+_LPIPS_SLICES = {  # slice name -> (torchvision features idx, flax conv name)
+    "slice1": (0, "conv1"),
+    "slice2": (3, "conv2"),
+    "slice3": (6, "conv3"),
+    "slice4": (8, "conv4"),
+    "slice5": (10, "conv5"),
+}
+
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def convert_lpips_state_dict(state_dict: dict, strict: bool = True) -> dict:
+    """Translate an `lpips.LPIPS(net='alex')` torch state_dict into the
+    param pytree of ``metrics.lpips._LPIPSNet``."""
+    flat: dict[tuple[str, ...], jnp.ndarray] = {}
+    unused: list[str] = []
+    for key, v in state_dict.items():
+        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        m = re.match(r"^net\.(slice\d)\.(\d+)\.(weight|bias)$", key)
+        if m:
+            sl, idx, kind = m.group(1), int(m.group(2)), m.group(3)
+            if sl not in _LPIPS_SLICES:
+                raise ValueError(f"unrecognised LPIPS slice in key {key}")
+            want_idx, conv = _LPIPS_SLICES[sl]
+            if idx != want_idx:
+                raise ValueError(f"unexpected layer index in {key} (want {want_idx})")
+            if kind == "weight":
+                flat[("alex", conv, "kernel")] = jnp.asarray(_conv_w(v))
+            else:
+                flat[("alex", conv, "bias")] = jnp.asarray(v)
+            continue
+        m = re.match(r"^lin(\d)\.model\.(\d+)\.weight$", key)
+        if m:
+            flat[(f"lin{m.group(1)}", "kernel")] = jnp.asarray(_conv_w(v))
+            continue
+        if key == "scaling_layer.shift":
+            if not np.allclose(v.reshape(-1), _LPIPS_SHIFT, atol=1e-6):
+                raise ValueError(f"scaling_layer.shift {v.reshape(-1)} != LPIPS constants")
+            continue
+        if key == "scaling_layer.scale":
+            if not np.allclose(v.reshape(-1), _LPIPS_SCALE, atol=1e-6):
+                raise ValueError(f"scaling_layer.scale {v.reshape(-1)} != LPIPS constants")
+            continue
+        unused.append(key)
+    if strict and unused:
+        raise ValueError(f"unrecognised LPIPS keys: {unused[:5]}")
+    expected = {("alex", c, p) for _, c in _LPIPS_SLICES.values() for p in ("kernel", "bias")}
+    expected |= {(f"lin{i}", "kernel") for i in range(5)}
+    missing = expected - set(flat)
+    if missing:
+        raise ValueError(f"LPIPS state_dict missing params: {sorted(missing)[:5]}")
+    return {"params": traverse_util.unflatten_dict(flat)}
+
+
+def import_lpips(path: str):
+    """Load a torch ``lpips``-package checkpoint (full ``LPIPS(net='alex')``
+    state_dict) and return a ready :class:`metrics.lpips.LPIPS` scorer."""
+    import torch
+
+    from dgm_img_super_resolution_tpu.metrics.lpips import LPIPS
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return LPIPS(convert_lpips_state_dict(sd))

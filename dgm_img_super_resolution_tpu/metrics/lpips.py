@@ -63,8 +63,10 @@ class _LPIPSNet(nn.Module):
         fb = net(b)
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa / jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True) + 1e-10)
-            nb = xb / jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: x / (sqrt(sum(x^2)) + eps), eps OUTSIDE
+            # the sqrt (lpips/__init__.py)
+            na = xa / (jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True)) + 1e-10)
+            nb = xb / (jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True)) + 1e-10)
             d = (na - nb) ** 2
             w = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")(d)
             total = total + jnp.mean(w, axis=(1, 2, 3))
@@ -83,9 +85,18 @@ class LPIPS:
     def maybe_create(cls, weights_path: str | None) -> "LPIPS | None":
         if not weights_path or not os.path.exists(weights_path):
             return None
-        raw = dict(np.load(weights_path))
-        params = freeze(traverse_util.unflatten_dict({tuple(k.split("/")): jnp.asarray(v) for k, v in raw.items()}))
-        return cls(params)
+        if weights_path.endswith(".npz"):
+            raw = dict(np.load(weights_path))
+            params = freeze(
+                traverse_util.unflatten_dict(
+                    {tuple(k.split("/")): jnp.asarray(v) for k, v in raw.items()}
+                )
+            )
+            return cls(params)
+        # torch `lpips.LPIPS(net='alex')` state_dict file (.pt/.pth/.ckpt)
+        from dgm_img_super_resolution_tpu.ckpt.torch_import import import_lpips
+
+        return import_lpips(weights_path)
 
     @staticmethod
     def init_params(rng) -> Any:
