@@ -96,7 +96,9 @@ class SRDiffPipeline:
         ph = next(p for p in range(div + 1) if (h + p) * scale % div == 0)
         pw = next(p for p in range(div + 1) if (w + p) * scale % div == 0)
         if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            # reflect requires pad < dim; degenerate 1-2 px inputs use edge
+            mode = "reflect" if ph < h and pw < w else "edge"
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         x = shard_batch(x, self.mesh)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         fn = self._sample_fn(x.shape[1], x.shape[2])
@@ -169,7 +171,8 @@ class SRDiffPipeline:
             return np.asarray(out[0])
         ph = int(np.ceil(h / patch)) * patch
         pw = int(np.ceil(w / patch)) * patch
-        x = jnp.pad(x[None], ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="reflect")
+        pad_mode = "reflect" if ph - h < h and pw - w < w else "edge"
+        x = jnp.pad(x[None], ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode=pad_mode)
         patches, grid = extract_patches(x, patch)
         sr_patches = self.upscale_batch(np.asarray(patches), rng)
         out = merge_patches(jnp.asarray(sr_patches), grid, n=1)

@@ -212,16 +212,21 @@ ROWPACK_INTERPRET = False  # tests set True to exercise the kernel on CPU
 
 
 def _rowpack_eligible(x, c_in: int, features: int) -> bool:
-    if not (os.environ.get("DGMSR_PALLAS_CONV") or ROWPACK_INTERPRET):
+    enabled = os.environ.get("DGMSR_PALLAS_CONV", "0").lower() not in ("", "0", "false")
+    if not (enabled or ROWPACK_INTERPRET):
         return False
     if not (jax.default_backend() == "tpu" or ROWPACK_INTERPRET):
         return False
+    # W gating: the kernel was validated on lane-aligned widths (W=512-class);
+    # arbitrary native-size widths fall back to the XLA path.
     return (
         c_in == features
         and features in (32, 64)
         and x.ndim == 4
         and x.shape[1] % 16 == 0
         and x.shape[1] >= 32
+        and x.shape[2] % 128 == 0
+        and x.shape[2] >= 128
     )
 
 
@@ -456,6 +461,12 @@ class MultiheadAttention(nn.Module):
     ``before_softmax`` return modes. Dead code in the reference (never
     instantiated) — implemented for inventory parity and twin-tested against
     ``torch.nn.functional.multi_head_attention_forward``.
+
+    Scope notes vs the reference module (both paths are dead code there):
+    ``kdim``/``vdim`` (separate unpacked k/v projections) are not provided —
+    only the ``qkv_same_dim`` packed projection the reference defaults to;
+    ``attn_mask`` must be 2-D ``(Tq, Tk)`` (torch additionally accepts a 3-D
+    ``(B·H, Tq, Tk)`` mask).
 
     Parameters are stored Flax-style: ``in_proj/kernel`` is ``(E, 3E)``
     (= torch ``in_proj_weight.T``), ``out_proj/kernel`` ``(E, E)``.

@@ -18,12 +18,15 @@ single-pod ICI.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger("dgm_img_super_resolution_tpu.parallel")
 
 
 def parse_mesh_shape(spec: str, n_devices: int) -> dict[str, int]:
@@ -61,6 +64,15 @@ def shard_batch(x: Any, mesh: Mesh, axis: str = "dp") -> Any:
 
     def put(a):
         div = hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] % n == 0
+        if not div and n > 1:
+            # loud, not silent: an N-chip mesh quietly doing 1-chip work is
+            # otherwise invisible (VERDICT r1 weak #5)
+            shape = getattr(a, "shape", None)
+            logger.warning(
+                "shard_batch: leading dim %s not divisible by %s=%d — "
+                "replicating instead of sharding (serialised work)",
+                shape, axis, n,
+            )
         return jax.device_put(a, sharded if div else rep)
 
     return jax.tree_util.tree_map(put, x)

@@ -203,6 +203,7 @@ class Trainer:
 
         t0 = time.time()
         step = start_step
+        last_saved = start_step
         for batch in data_iter:
             if step >= max_updates:
                 break
@@ -229,6 +230,13 @@ class Trainer:
                         best = score
                         self.save(state, step, subdir="best")
                 self.save(state, step)
+                last_saved = step
+        # Final save on loop exit: the reference saves unconditionally on its
+        # validation cadence (model.py:1439-1450); without this, a run with
+        # val_check_interval=0 or a final step off the cadence would lose all
+        # work at loop exit.
+        if step > last_saved:
+            self.save(state, step)
         return state
 
     def save(self, state: TrainState, step: int, subdir: str = "") -> None:
