@@ -1,12 +1,21 @@
-"""Benchmark: SRDiff ×4 super-resolution throughput on TPU.
+"""Benchmark: SRDiff ×4 super-resolution throughput + latency on TPU.
 
-Measures the reference's headline workload (SRDiff ×4 upscale with the full
-T=100 ancestral DDPM sampler — reference README.md:61 reports ~15 s/image on
-CPU, i.e. 0.0667 upscales/sec) at 512×512 output resolution, end-to-end:
-bicubic ×4 upsample + RRDB encoder + 100-step scan-compiled sampler, bf16
-activations.
+Measures the reference's headline workload (SRDiff ×4 upscale — reference
+README.md:61 reports ~15 s/image on CPU, i.e. 0.0667 upscales/sec) at 512×512
+output resolution, end-to-end: bicubic ×4 upsample + RRDB encoder +
+scan-compiled sampler, bf16 activations.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Operating point: the quality-validated fast sampler (see docs/PARITY.md
+"DDIM operating point") — DDIM with BENCH_STEPS steps by default; set
+BENCH_SAMPLER=ddpm BENCH_STEPS=100 for the reference's full T=100 ancestral
+chain.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+p50/p99 per-image latency} — BASELINE.md tracks both throughput and p50
+latency. Latency is measured dispatch→scalar-fetch (device-complete): the
+axon tunnel's ~0.85 s D2H of a 25 MB batch is an artifact of the tunneled
+build environment, not of the hardware target (DESIGN.md "Measurement
+methodology").
 """
 
 from __future__ import annotations
@@ -25,7 +34,7 @@ def main() -> None:
     import jax
 
     # persistent compilation cache: repeat bench runs skip the (slow,
-    # tunnel-bound) XLA compile of the 100-step sampler
+    # tunnel-bound) XLA compile of the sampler scan
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -37,7 +46,13 @@ def main() -> None:
     from dgm_img_super_resolution_tpu.core.config import Hparams
     from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
 
-    hp = Hparams(compute_dtype="bfloat16")
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    hp = Hparams(
+        compute_dtype="bfloat16",
+        sampler=sampler,
+        sample_timesteps=steps if sampler == "ddim" else 0,
+    )
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     lr_size = 128  # → 512×512 output at ×4
 
@@ -60,6 +75,19 @@ def main() -> None:
     assert outs[-1].shape == (batch, 512, 512, 3)
     upscales_per_sec = batch * iters / dt
 
+    # per-image latency: sequential dispatch → device-complete (scalar fetch
+    # forces the whole batch computed). Latency of an image served in a
+    # batch-`batch` request.
+    lat_iters = int(os.environ.get("BENCH_LAT_ITERS", "5"))
+    lats = []
+    for i in range(lat_iters):
+        t0 = time.perf_counter()
+        o = pipe.upscale_batch_device(imgs, jax.random.PRNGKey(100 + i))
+        float(o.sum())  # device-complete sync (block_until_ready is a no-op on the tunnel)
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lats, 50))
+    p99 = float(np.percentile(lats, 99))
+
     print(
         json.dumps(
             {
@@ -67,6 +95,11 @@ def main() -> None:
                 "value": round(upscales_per_sec, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(upscales_per_sec / BASELINE_UPSCALES_PER_SEC, 2),
+                "p50_latency_s": round(p50, 4),
+                "p99_latency_s": round(p99, 4),
+                "latency_batch": batch,
+                "sampler": sampler,
+                "steps": steps,
             }
         )
     )

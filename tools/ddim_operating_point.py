@@ -1,0 +1,192 @@
+"""DDIM operating-point quality study (VERDICT r1 next-step #1a).
+
+The reference's headline workload is the T=100 ancestral DDPM chain
+(reference ``srdiff/model.py:1050-1091``); a reduced-step DDIM mode is the
+only arithmetically credible path to the v5e-8 throughput target. This tool
+produces the missing evidence: PSNR/SSIM of ``ddim_sample`` at
+{8,10,20,50,100} steps vs the T=100 ancestral golden, with a REAL (trained)
+eps-model so the comparison is meaningful.
+
+No pretrained weights can be downloaded here (zero egress), so the tool
+first trains the full-size SRDiff config (hidden=64, nb=8, mults 1|2|3|4)
+on random 160² crops of the reference's own test images
+(``/root/reference/cat_img.png``, ``car_img.png``) — a deliberately overfit
+model whose eps predictions on those images are sharp, which is exactly
+what the sampler-step tradeoff needs. It then upscales held-out 128→512
+regions of both images with every sampler mode, all from one shared rng,
+and reports:
+
+- PSNR/SSIM vs the ground-truth HR region (the quality number), and
+- PSNR/SSIM vs the ancestral T=100 golden (the sampler-fidelity number).
+
+The chosen operating point (fewest steps within 0.1 dB of the ancestral
+chain's PSNR-vs-HR) is what ``bench.py`` benchmarks; the recorded table
+lives in docs/PARITY.md ("DDIM operating point").
+
+Usage:
+    python tools/ddim_operating_point.py [--train-steps 3000] [--batch 16]
+        [--out DDIM_OPERATING_POINT.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_REF_DIR = "/root/reference"
+_FILES = ["cat_img.png", "car_img.png"]
+
+
+def make_train_iter(batch: int, hr: int, scale: int, seed: int = 0):
+    from dgm_img_super_resolution_tpu.data.div2k import DIV2KDataset
+
+    ds = DIV2KDataset(
+        _REF_DIR,
+        scale_factor=scale,
+        hr_height=hr,
+        hr_width=hr,
+        data_augmentation=True,
+        seed=seed,
+        file_list=_FILES,
+    )
+    rng = np.random.default_rng(seed)
+
+    def it():
+        while True:
+            idx = rng.integers(0, len(ds), size=batch)
+            samples = [ds[i] for i in idx]
+            yield {
+                k: np.stack([s[k] for s in samples]).astype(np.float32)
+                for k in ("hr", "lr", "lr_up")
+            }
+
+    return it()
+
+
+def eval_regions(hr_size: int, scale: int):
+    """Fixed centre crops of both reference images (held out from the random
+    train-crop distribution only probabilistically — the point is a sharp
+    eps-model, not generalisation)."""
+    from PIL import Image
+
+    from dgm_img_super_resolution_tpu.data.div2k import _resize_np
+
+    regions = {}
+    for f in _FILES:
+        img = np.asarray(Image.open(os.path.join(_REF_DIR, f)).convert("RGB"))
+        y0 = (img.shape[0] - hr_size) // 2
+        x0 = (img.shape[1] - hr_size) // 2
+        hr = img[y0 : y0 + hr_size, x0 : x0 + hr_size].astype(np.float32)
+        lr = _resize_np(hr, (hr_size // scale, hr_size // scale), "pil")
+        regions[f.split("_")[0]] = {
+            "hr_u8": np.clip(hr, 0, 255).astype(np.uint8),
+            "lr_pm1": np.clip(lr, 0, 255).astype(np.float32) / 127.5 - 1.0,
+        }
+    return regions
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hr-size", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--ddim-steps", type=int, nargs="+", default=[8, 10, 20, 50, 100])
+    ap.add_argument("--out", default="DDIM_OPERATING_POINT.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from dgm_img_super_resolution_tpu.core.config import Hparams
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+    from dgm_img_super_resolution_tpu.metrics.measure import Measure
+    from dgm_img_super_resolution_tpu.train.tasks.srdiff import SRDiffTask
+
+    hp = Hparams(compute_dtype="bfloat16", val_check_interval=0)
+    scale = hp["sr_scale"]
+
+    print(f"| backend={jax.default_backend()}  training {args.train_steps} steps "
+          f"batch={args.batch} on {_FILES}", flush=True)
+    task = SRDiffTask(hp)
+    trainer = task.make_trainer()
+    with tempfile.TemporaryDirectory() as td:
+        trainer.work_dir = td
+        t0 = time.time()
+        state = trainer.fit(
+            make_train_iter(args.batch, hp.get("patch_size", 160), scale, args.seed),
+            jax.random.PRNGKey(args.seed),
+            max_updates=args.train_steps,
+            resume=False,
+        )
+        print(f"| trained in {time.time() - t0:.0f}s", flush=True)
+    params = jax.device_get(state.params)
+
+    regions = eval_regions(args.hr_size, scale)
+    measure = Measure()
+    modes = [("ddpm", 100)] + [("ddim", s) for s in args.ddim_steps]
+    results: dict[str, dict] = {}
+    goldens: dict[str, np.ndarray] = {}
+    for sampler, steps in modes:
+        mhp = hp.replace(
+            sampler=sampler, sample_timesteps=steps if sampler == "ddim" else 0
+        )
+        pipe = SRDiffPipeline(mhp, params=params)
+        key = f"{sampler}{steps}"
+        results[key] = {"sampler": sampler, "steps": steps}
+        for name, reg in regions.items():
+            t0 = time.time()
+            out = pipe.upscale(reg["lr_pm1"], jax.random.PRNGKey(args.seed))
+            dt = time.time() - t0
+            u8 = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+            if sampler == "ddpm":
+                goldens[name] = u8
+            results[key][name] = {
+                "psnr_vs_hr": measure.psnr(u8, reg["hr_u8"]),
+                "ssim_vs_hr": measure.ssim(u8, reg["hr_u8"]),
+                "wall_s_incl_compile": round(dt, 2),
+            }
+            if sampler != "ddpm":
+                results[key][name]["psnr_vs_golden"] = measure.psnr(u8, goldens[name])
+                results[key][name]["ssim_vs_golden"] = measure.ssim(u8, goldens[name])
+        mean_d = np.mean(
+            [results[key][n]["psnr_vs_hr"] for n in regions]
+        )
+        print(f"| {key:8s} mean PSNR-vs-HR {mean_d:.3f} dB", flush=True)
+
+    # operating point: fewest DDIM steps within 0.1 dB of the ancestral
+    # chain's mean PSNR-vs-HR
+    ddpm_mean = np.mean([results["ddpm100"][n]["psnr_vs_hr"] for n in regions])
+    chosen = None
+    for sampler, steps in modes[1:]:
+        key = f"{sampler}{steps}"
+        mean = np.mean([results[key][n]["psnr_vs_hr"] for n in regions])
+        if ddpm_mean - mean <= 0.1:
+            chosen = {"sampler": sampler, "steps": steps,
+                      "delta_db_vs_ddpm100": round(float(ddpm_mean - mean), 4)}
+            break
+    rec = {
+        "config": "hidden=64 nb=8 nf=32 gc=16 mults=1|2|3|4 T=100 cosine",
+        "train_steps": args.train_steps,
+        "batch": args.batch,
+        "hr_size": args.hr_size,
+        "backend": jax.default_backend(),
+        "ddpm100_mean_psnr_vs_hr": round(float(ddpm_mean), 4),
+        "operating_point": chosen,
+        "results": results,
+    }
+    print(json.dumps(rec, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(f"| wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
