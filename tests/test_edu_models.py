@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # short training runs per model; excluded from the default run
+
 from dgm_img_super_resolution_tpu.core.config import Hparams
 from dgm_img_super_resolution_tpu.data.mnist import synthetic_mnist, to_model_input
 from dgm_img_super_resolution_tpu.train.tasks.gan import GANTask

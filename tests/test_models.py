@@ -12,6 +12,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+slow = pytest.mark.slow  # >10 s on the 1-core host; excluded from the default run
+
 from dgm_img_super_resolution_tpu.core.config import Hparams
 from dgm_img_super_resolution_tpu.models.factory import (
     build_rrdb,
@@ -96,6 +98,7 @@ def test_sinusoidal_pos_emb_reference_spacing():
     np.testing.assert_allclose(np.asarray(emb[1, :32]), np.sin(freqs), atol=1e-6)
 
 
+@slow
 def test_rrdb_shapes_and_cond_features():
     rrdb = build_rrdb(HP)
     x = jnp.zeros((1, 16, 16, 3))
@@ -108,6 +111,7 @@ def test_rrdb_shapes_and_cond_features():
     assert float(out.max()) <= 1.0 and float(out.min()) >= -1.0
 
 
+@slow
 def test_unet_shapes():
     unet = build_unet(HP)
     x = jnp.zeros((2, 32, 32, 3))
@@ -118,6 +122,7 @@ def test_unet_shapes():
     assert y.shape == (2, 32, 32, 3)
 
 
+@slow
 def test_unet_param_structure_matches_reference_topology():
     unet = build_unet(HP)
     x = jnp.zeros((1, 32, 32, 3))
@@ -139,6 +144,7 @@ def test_unet_param_structure_matches_reference_topology():
     assert not any("norm" in jax.tree_util.keystr(path) for path, _ in flat)
 
 
+@slow
 def test_srdiff_param_count_reasonable():
     diffusion = build_srdiff(HP)
     params = init_srdiff_params(diffusion, jax.random.PRNGKey(0), HP, hr_size=32)
@@ -165,6 +171,7 @@ def test_reflect_conv_stride2_matches_materialised_pad(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@slow
 def test_resnet_block_skip_pair_equals_concat(rng):
     """The virtual-concat skip join is numerically the explicit concat."""
     from dgm_img_super_resolution_tpu.models.layers import ResnetBlock

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full SD pipeline forwards; excluded from the default run
+
 from dgm_img_super_resolution_tpu.models.sd.attention import MultiHeadAttention, Transformer2D
 from dgm_img_super_resolution_tpu.models.sd.clip import CLIPTextEncoder, SimpleTokenizer
 from dgm_img_super_resolution_tpu.models.sd.pipeline import StableDiffusionUpscalePipeline

@@ -16,6 +16,8 @@ convs, Mish, dense blocks, skip topology) is numerically the torch forward.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # activation-parity twins build torch+jax models per test; excluded from the default run
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
