@@ -34,7 +34,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 import time
 
 import numpy as np
@@ -101,32 +100,44 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--ddim-steps", type=int, nargs="+", default=[8, 10, 20, 50, 100])
     ap.add_argument("--out", default="DDIM_OPERATING_POINT.json")
+    ap.add_argument(
+        "--work-dir",
+        default="/tmp/ddim_study_wd",
+        help="persistent trainer work dir: a killed run resumes from the last "
+        "periodic checkpoint instead of retraining from scratch",
+    )
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
 
     from dgm_img_super_resolution_tpu.core.config import Hparams
     from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
     from dgm_img_super_resolution_tpu.metrics.measure import Measure
     from dgm_img_super_resolution_tpu.train.tasks.srdiff import SRDiffTask
 
-    hp = Hparams(compute_dtype="bfloat16", val_check_interval=0)
+    # val_check_interval=250 (with no val_fn) is a pure periodic-checkpoint
+    # cadence so the multi-hour training phase survives process kills
+    hp = Hparams(compute_dtype="bfloat16", val_check_interval=250)
     scale = hp["sr_scale"]
 
     print(f"| backend={jax.default_backend()}  training {args.train_steps} steps "
           f"batch={args.batch} on {_FILES}", flush=True)
     task = SRDiffTask(hp)
     trainer = task.make_trainer()
-    with tempfile.TemporaryDirectory() as td:
-        trainer.work_dir = td
-        t0 = time.time()
-        state = trainer.fit(
-            make_train_iter(args.batch, hp.get("patch_size", 160), scale, args.seed),
-            jax.random.PRNGKey(args.seed),
-            max_updates=args.train_steps,
-            resume=False,
-        )
-        print(f"| trained in {time.time() - t0:.0f}s", flush=True)
+    trainer.work_dir = args.work_dir
+    t0 = time.time()
+    state = trainer.fit(
+        make_train_iter(args.batch, hp.get("patch_size", 160), scale, args.seed),
+        jax.random.PRNGKey(args.seed),
+        max_updates=args.train_steps,
+        resume=True,
+    )
+    print(f"| trained in {time.time() - t0:.0f}s", flush=True)
     params = jax.device_get(state.params)
 
     regions = eval_regions(args.hr_size, scale)
