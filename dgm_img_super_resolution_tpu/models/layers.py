@@ -209,6 +209,20 @@ def reflect_conv3x3_stride2(x, kernel, bias=None, dtype=jnp.float32):
 # formulation (training steps differentiate through Block).
 
 ROWPACK_INTERPRET = False  # tests set True to exercise the kernel on CPU
+CHAIN_INTERPRET = False  # tests set True to exercise the fused chain on CPU
+
+
+def chain_eligible(h: int, w: int, c: int) -> bool:
+    """Gate for the fused ResnetBlock-pair chain kernel
+    (ops/pallas/block_chain.py): opt-in via ``DGMSR_PALLAS_FUSED=1``; shapes
+    validated on real Mosaic are the SRDiff C=64 stages with lane-aligned
+    widths — anything else falls back to the XLA composition."""
+    enabled = os.environ.get("DGMSR_PALLAS_FUSED", "0").lower() not in ("", "0", "false")
+    if not (enabled or CHAIN_INTERPRET):
+        return False
+    if not (jax.default_backend() == "tpu" or CHAIN_INTERPRET):
+        return False
+    return c == 64 and h % 8 == 0 and h >= 32 and w % 128 == 0 and w >= 128
 
 
 def _rowpack_eligible(x, c_in: int, features: int) -> bool:
@@ -280,14 +294,19 @@ class ReflectConv3x3(nn.Module):
     activation: str | None = None
 
     @nn.compact
-    def __call__(self, x, x2=None):
-        c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+    def __call__(self, x, x2=None, *, act=True, weights_only=False, c_in=None):
+        if c_in is None:
+            c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-        mish_act = self.activation == "mish"
+        if weights_only:
+            # Fused-region serving path (ops/pallas/block_chain.py): the caller
+            # computes the conv inside the chain kernel; params/names unchanged.
+            return kernel, bias
+        mish_act = self.activation == "mish" and act
         if x2 is None and _rowpack_eligible(x, c_in, self.features):
             return _fused_reflect_conv(x, kernel, bias, mish_act, self.dtype)
         if x2 is None:
@@ -310,8 +329,9 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x2=None):
+    def __call__(self, x, x2=None, *, act=True, weights_only=False, c_in=None):
         if self.groups > 0:
+            assert act and not weights_only, "fused chain requires groups == 0"
             y = ReflectConv3x3(self.dim_out, dtype=self.dtype, name="conv")(x, x2)
             y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(y)
             return mish(y)
@@ -319,7 +339,7 @@ class Block(nn.Module):
         # delegated so the Pallas path fuses it into the kernel epilogue.
         return ReflectConv3x3(
             self.dim_out, dtype=self.dtype, name="conv", activation="mish"
-        )(x, x2)
+        )(x, x2, act=act, weights_only=weights_only, c_in=c_in)
 
 
 class Conv1x1Pair(nn.Module):
@@ -358,7 +378,9 @@ class ResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time_emb=None, cond=None, skip=None):
+    def __call__(self, x, time_emb=None, cond=None, skip=None, *, parts=None):
+        if parts is not None:
+            return self._parts(x, time_emb, skip, parts)
         h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(x, skip)
         if time_emb is not None:
             t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(time_emb))
@@ -372,6 +394,41 @@ class ResnetBlock(nn.Module):
         elif skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
         return h + x
+
+    def _parts(self, x, time_emb, skip, parts):
+        """Decomposition for the fused chain kernel (ops/pallas/block_chain.py).
+
+        Creates exactly the params (names + shapes) of the normal path.
+        ``"head"`` (the chain's first ResnetBlock) computes block1's conv
+        pre-activation and the residual-conv output in XLA and hands block2's
+        weights to the kernel; ``"tail"`` (the second ResnetBlock, input
+        channels == dim_out so the residual is the identity carried inside
+        the kernel) hands over both convs' weights.
+        """
+        t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(time_emb))
+        if parts == "head":
+            a_pre = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
+                x, skip, act=False
+            )
+            wb, bb = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(
+                None, weights_only=True, c_in=self.dim_out
+            )
+            c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+            if c_in != self.dim_out:
+                r1 = Conv1x1Pair(self.dim_out, dtype=self.dtype, name="res_conv")(x, skip)
+            elif skip is not None:
+                r1 = jnp.concatenate([x, skip], axis=-1)
+            else:
+                r1 = x
+            return a_pre, t, r1, wb, bb
+        assert parts == "tail" and skip is None, parts
+        w1, b1 = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
+            None, weights_only=True, c_in=self.dim_out
+        )
+        w2, b2 = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(
+            None, weights_only=True, c_in=self.dim_out
+        )
+        return t, w1, b1, w2, b2
 
 
 class Upsample(nn.Module):

@@ -83,18 +83,49 @@ class Unet(nn.Module):
         t = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_0")(t)
         t = nn.Dense(self.dim, dtype=self.dtype, name="mlp_1")(mish(t))
 
+        # Fused 512²/256² C=64 serving path (ops/pallas/block_chain.py): the
+        # whole ResnetBlock-pair chain of down stage 0 / the last up stage —
+        # three 64→64 reflect convs + every elementwise epilogue — runs as ONE
+        # Pallas call, so the round-1 rowpack lesson (custom-call boundaries
+        # cost XLA its cross-op fusion per Block) is amortised over the region.
+        def fused_pair(rb1, rb2, x, skip=None, cond=None):
+            from dgm_img_super_resolution_tpu.models import layers as _l
+            from dgm_img_super_resolution_tpu.ops.pallas.block_chain import block_chain3
+
+            a_pre, tv1, r1, wb, bb = rb1(x, t, skip=skip, parts="head")
+            tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
+            return block_chain3(
+                a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+                8, _l.CHAIN_INTERPRET,
+            )
+
+        def chain_ok(x, dim_out):
+            from dgm_img_super_resolution_tpu.models.layers import chain_eligible
+
+            return (
+                not self.is_initializing()
+                and self.groups == 0
+                and dim_out == 64
+                and chain_eligible(x.shape[1], x.shape[2], dim_out)
+            )
+
         h = []
         for i, (_, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")(x, t)
-            x = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")(x, t)
-            if i == 0:
-                x = x + cond_proj
-                if self.res and self.up_input:
-                    up_proj = nn.Conv(
-                        self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
-                    )(reflect_pad(img_lr_up, 1))
-                    x = x + up_proj
+            rb1 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")
+            rb2 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")
+            if i == 0 and chain_ok(x, dim_out):
+                x = fused_pair(rb1, rb2, x, cond=cond_proj)
+            else:
+                x = rb1(x, t)
+                x = rb2(x, t)
+                if i == 0:
+                    x = x + cond_proj
+            if i == 0 and self.res and self.up_input:
+                up_proj = nn.Conv(
+                    self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
+                )(reflect_pad(img_lr_up, 1))
+                x = x + up_proj
             h.append(x)
             if not is_last:
                 x = Downsample(self.dtype, name=f"down_{i}_downsample")(x)
@@ -113,10 +144,13 @@ class Unet(nn.Module):
         # saving a full-width concat buffer round-trip per stage in the
         # T-step sampling scan (see layers.ResnetBlock).
         for i, (dim_in, _) in enumerate(reversed(in_out[1:])):
-            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")(
-                x, t, skip=h.pop()
-            )
-            x = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res2")(x, t)
+            rb1 = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")
+            rb2 = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res2")
+            if chain_ok(x, dim_in):
+                x = fused_pair(rb1, rb2, x, skip=h.pop())
+            else:
+                x = rb1(x, t, skip=h.pop())
+                x = rb2(x, t)
             x = Upsample(self.dtype, name=f"up_{i}_upsample")(x)
 
         x = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(x)

@@ -1,0 +1,343 @@
+"""Fused 3-conv ResnetBlock-pair chain Pallas kernel (the 512²/C=64 region).
+
+Round-1 lesson (docs/DESIGN.md "Conv lane-packing study"): the row-pair-packed
+3×3 conv beats XLA standalone (3.16 vs ~4.0 ms at (8,512,512,64) bf16) but
+loses end-to-end because every custom-call boundary costs XLA its cross-op
+fusion around that Block. This kernel moves the *whole region* inside one
+call: the chain of three 64→64 reflect convs that dominates the SRDiff UNet's
+512² down-stage-0 (reference ``srdiff/model.py:774-781,826-832``) and the
+256² up-stage-2 (``model.py:789-796``), with every elementwise epilogue
+(Mish, time-embedding add, residual adds, RRDB-condition add) fused in:
+
+    h1  = mish(a_pre) + tv1          # a_pre = block1 conv output (XLA, 3→64
+                                     #   or the up-stage virtual-pair conv)
+    y1  = mish(conv_b(h1)) + r1      # ResnetBlock 1 output (r1 = res_conv(x))
+    h2  = mish(conv_c(y1)) + tv2
+    out = mish(conv_d(h2)) + y1 [+ cond]   # ResnetBlock 2 output (+ cond add
+                                     #   after down stage 0, model.py:829-832)
+
+Each conv is the row-pair-packed MXU formulation of ``conv3x3.py`` (two
+output rows per matmul → all 128 lanes full at C=64). Halos ride the same
+sequential-grid lag pipeline, deepened to 3: grid step j assembles h1 block
+j, computes conv_b for block j−1, conv_c for block j−2 and conv_d for block
+j−3 — intermediate activations live ONLY in rolling VMEM slots (h1: 2,
+y1: 3 — conv_d's residual read trails conv_b's write by two blocks —
+h2: 2), so the three intermediate 512² tensors never touch HBM and XLA
+keeps its fusion freedom everywhere outside the single call.
+
+Net HBM traffic: read a_pre + r1 (+cond), write out — the unavoidable
+region boundary. Grid gets 3 extra steps per image; output blocks 0..2 are
+written with garbage at steps 0..2 and sequentially overwritten (same
+mechanism as conv3x3.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgm_img_super_resolution_tpu.ops.pallas.conv3x3 import pack_weights
+
+# Output rows per grid step. 8 (not 16) keeps the 7 rolling slots + 4 I/O
+# streams inside the ~16 MB VMEM budget at W=512.
+_BLOCK_ROWS = 8
+
+
+def _mish_f32(x):
+    x = x.astype(jnp.float32)
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _rowpack_matmul(scratch, slot, w_ref, rows: int, width: int, c: int):
+    """All row-pair matmuls over one completed (rows+2, width+2, c) slot.
+
+    Returns a list of ``rows // 2`` f32 (width, 2c) accumulators (bias and
+    epilogues are applied by the caller).
+    """
+    accs = []
+    for r in range(rows // 2):
+        acc = jnp.zeros((width, 2 * c), jnp.float32)
+        for p in range(6):
+            dx = p // 2
+            dy0 = (p % 2) * 2
+            base = 2 * r + dy0
+            xa = scratch[slot, base, dx : dx + width, :]
+            xb = scratch[slot, base + 1, dx : dx + width, :]
+            xcat = jnp.concatenate([xa, xb], axis=-1)
+            acc = acc + jnp.dot(xcat, w_ref[p], preferred_element_type=jnp.float32)
+        accs.append(acc)
+    return accs
+
+
+def _kernel(
+    a_ref, r1_ref, tv1_ref, tv2_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+    wd_ref, bd_ref, *rest,
+    rows: int, width: int, c: int, has_cond: bool, out_dtype,
+):
+    if has_cond:
+        cond_ref, o_ref, h1_s, y1_s, h2_s = rest
+    else:
+        o_ref, h1_s, y1_s, h2_s = rest
+        cond_ref = None
+    nsteps = pl.num_programs(1)  # nb + 3
+    nb = nsteps - 3
+    j = pl.program_id(1)
+
+    def _col_border(scr, slot, row_lo, row_hi):
+        # reflect: col −1 ≡ col 1, col W ≡ col W−2 (torch ReflectionPad2d).
+        scr[slot, row_lo:row_hi, 0, :] = scr[slot, row_lo:row_hi, 2, :]
+        scr[slot, row_lo:row_hi, width + 1, :] = scr[slot, row_lo:row_hi, width - 1, :]
+
+    def _col_border_row(scr, slot, row):
+        scr[slot, row, 0, :] = scr[slot, row, 2, :]
+        scr[slot, row, width + 1, :] = scr[slot, row, width - 1, :]
+
+    # ---- stage A: assemble h1 block j = mish(a_pre) + tv1 (active j < nb).
+    h1_cur = jax.lax.rem(j, 2)
+    h1_prev = 1 - h1_cur
+
+    @pl.when(j < nb)
+    def _assemble():
+        tv1 = tv1_ref[0].astype(jnp.float32)
+        h1 = (_mish_f32(a_ref[0]) + tv1).astype(h1_s.dtype)
+        h1_s[h1_cur, 1 : rows + 1, 1 : width + 1, :] = h1
+
+        @pl.when(j > 0)
+        def _():
+            h1_s[h1_cur, 0, :, :] = h1_s[h1_prev, rows, :, :]
+
+        @pl.when(j == 0)
+        def _():
+            # image top: row −1 ≡ row 1 = this block's second row.
+            h1_s[h1_cur, 0, 1 : width + 1, :] = h1[1]
+
+        _col_border(h1_s, h1_cur, 0, rows + 1)
+
+    # ---- stage B: conv_b for block j−1 → y1 (active 1 ≤ j ≤ nb).
+    @pl.when(jnp.logical_and(j >= 1, j <= nb))
+    def _conv_b():
+        # complete h1 block j−1's bottom halo.
+        @pl.when(j <= nb - 1)
+        def _():
+            tv1 = tv1_ref[0].astype(jnp.float32)
+            h1_s[h1_prev, rows + 1, 1 : width + 1, :] = (
+                _mish_f32(a_ref[0, 0]) + tv1
+            ).astype(h1_s.dtype)
+            _col_border_row(h1_s, h1_prev, rows + 1)
+
+        @pl.when(j == nb)
+        def _():
+            # image bottom: row H ≡ row H−2.
+            h1_s[h1_prev, rows + 1, :, :] = h1_s[h1_prev, rows - 1, :, :]
+
+        y1_slot = jax.lax.rem(j - 1, 3)
+        bias2 = jnp.concatenate([bb_ref[0], bb_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h1_s, h1_prev, wb_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            r1a = r1_ref[0, 2 * r, :, :]
+            r1b = r1_ref[0, 2 * r + 1, :, :]
+            r1cat = jnp.concatenate([r1a, r1b], axis=-1).astype(jnp.float32)
+            y = (_mish_f32(acc + bias2) + r1cat).astype(y1_s.dtype)
+            y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :] = y[:, :c]
+            y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :] = y[:, c:]
+        # top halo of block j−1.
+        @pl.when(j > 1)
+        def _():
+            y1_s[y1_slot, 0, :, :] = y1_s[jax.lax.rem(j - 2, 3), rows, :, :]
+
+        @pl.when(j == 1)
+        def _():
+            y1_s[y1_slot, 0, 1 : width + 1, :] = y1_s[y1_slot, 2, 1 : width + 1, :]
+
+        _col_border(y1_s, y1_slot, 0, rows + 1)
+        # bottom halo of block j−2 = this block's first row.
+        @pl.when(j > 1)
+        def _():
+            y1_s[jax.lax.rem(j - 2, 3), rows + 1, :, :] = y1_s[y1_slot, 1, :, :]
+
+    @pl.when(j == nb + 1)
+    def _y1_last_halo():
+        # image bottom for y1 block nb−1.
+        s = jax.lax.rem(nb - 1, 3)
+        y1_s[s, rows + 1, :, :] = y1_s[s, rows - 1, :, :]
+
+    # ---- stage C: conv_c for block j−2 → h2 (active 2 ≤ j ≤ nb+1).
+    @pl.when(jnp.logical_and(j >= 2, j <= nb + 1))
+    def _conv_c():
+        h2_slot = jax.lax.rem(j - 2, 2)
+        y1_slot = jax.lax.rem(j - 2, 3)
+        bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
+        tv2 = tv2_ref[0].astype(jnp.float32)
+        tv2cat = jnp.concatenate([tv2, tv2])
+        accs = _rowpack_matmul(y1_s, y1_slot, wc_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            h = (_mish_f32(acc + bias2) + tv2cat).astype(h2_s.dtype)
+            h2_s[h2_slot, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+            h2_s[h2_slot, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        @pl.when(j > 2)
+        def _():
+            h2_s[h2_slot, 0, :, :] = h2_s[1 - h2_slot, rows, :, :]
+
+        @pl.when(j == 2)
+        def _():
+            h2_s[h2_slot, 0, 1 : width + 1, :] = h2_s[h2_slot, 2, 1 : width + 1, :]
+
+        _col_border(h2_s, h2_slot, 0, rows + 1)
+        @pl.when(j > 2)
+        def _():
+            h2_s[1 - h2_slot, rows + 1, :, :] = h2_s[h2_slot, 1, :, :]
+
+    @pl.when(j == nb + 2)
+    def _h2_last_halo():
+        s = jax.lax.rem(nb - 1, 2)
+        h2_s[s, rows + 1, :, :] = h2_s[s, rows - 1, :, :]
+
+    # ---- stage D: conv_d for block j−3 → out (active 3 ≤ j ≤ nb+2).
+    @pl.when(j >= 3)
+    def _conv_d():
+        h2_slot = jax.lax.rem(j - 3, 2)
+        y1_slot = jax.lax.rem(j - 3, 3)
+        bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h2_s, h2_slot, wd_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            ya = y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :]
+            yb = y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :]
+            ycat = jnp.concatenate([ya, yb], axis=-1).astype(jnp.float32)
+            out = _mish_f32(acc + bias2) + ycat
+            if cond_ref is not None:
+                ca = cond_ref[0, 2 * r, :, :]
+                cb = cond_ref[0, 2 * r + 1, :, :]
+                out = out + jnp.concatenate([ca, cb], axis=-1).astype(jnp.float32)
+            out = out.astype(out_dtype)
+            o_ref[0, 2 * r, :, :] = out[:, :c]
+            o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+
+
+def block_chain3_reference(
+    a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None, *, dtype=None
+):
+    """XLA reference composition (also the custom-VJP backward path)."""
+    from dgm_img_super_resolution_tpu.models.layers import mish, reflect_conv3x3
+
+    dtype = dtype or a_pre.dtype
+    h1 = (mish(a_pre.astype(jnp.float32)) + tv1[:, None, None, :]).astype(dtype)
+    y1 = mish(reflect_conv3x3(h1, wb, bb, dtype=dtype).astype(jnp.float32)).astype(
+        dtype
+    ) + r1.astype(dtype)
+    h2 = (
+        mish(reflect_conv3x3(y1, wc, bc, dtype=dtype).astype(jnp.float32))
+        + tv2[:, None, None, :]
+    ).astype(dtype)
+    out = mish(reflect_conv3x3(h2, wd, bd, dtype=dtype).astype(jnp.float32)).astype(
+        dtype
+    ) + y1
+    if cond is not None:
+        out = out + cond.astype(dtype)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _block_chain3_pallas(
+    a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None,
+    *, block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    b, h, w, c = a_pre.shape
+    assert h % block_rows == 0 and block_rows % 2 == 0, (h, block_rows)
+    for k in (wb, wc, wd):
+        assert k.shape == (3, 3, c, c), k.shape
+    dtype = a_pre.dtype
+    nb = h // block_rows
+    has_cond = cond is not None
+
+    packed = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
+    biases = [x.astype(jnp.float32).reshape(1, c) for x in (bb, bc, bd)]
+    tvs = [x.astype(jnp.float32) for x in (tv1, tv2)]
+
+    kern = functools.partial(
+        _kernel, rows=block_rows, width=w, c=c, has_cond=has_cond, out_dtype=dtype
+    )
+    stream = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, block_rows, w, c),
+        lambda i, j, off=off: (i, jnp.clip(j - off, 0, nb - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec = pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        stream(0),   # a_pre
+        stream(1),   # r1
+        vec, vec,    # tv1, tv2
+        full, full, full, full, full, full,  # packed weights + biases
+    ]
+    inputs = [a_pre, r1, tvs[0], tvs[1],
+              packed[0], biases[0], packed[1], biases[1], packed[2], biases[2]]
+    if has_cond:
+        in_specs.append(stream(3))
+        inputs.append(cond)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb + 3),
+        in_specs=in_specs,
+        out_specs=stream(3),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),  # h1
+            pltpu.VMEM((3, block_rows + 2, w + 2, c), dtype),  # y1
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),  # h2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * h * w * 12 * c * 2 * c,
+            bytes_accessed=(4 + has_cond) * b * h * w * c * dtype.itemsize,
+            transcendentals=4 * b * h * w * c,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def block_chain3(
+    a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+    block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    """Fused ResnetBlock-pair chain (see module docstring).
+
+    ``a_pre``/``r1``: (B,H,W,C) block1-conv output and residual-conv output;
+    ``tv1``/``tv2``: (B,C) per-ResnetBlock time-embedding vectors; ``w*``/
+    ``b*``: the three chained (3,3,C,C)/(C,) conv params; ``cond``: optional
+    (B,H,W,C) RRDB condition added to the final output. Differentiable via
+    the XLA reference composition.
+    """
+    return _block_chain3_pallas(
+        a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+        block_rows=block_rows, interpret=interpret,
+    )
+
+
+def _chain_fwd(a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+               block_rows, interpret):
+    out = block_chain3(
+        a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, block_rows, interpret
+    )
+    return out, (a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond)
+
+
+def _chain_bwd(block_rows, interpret, res, g):
+    (a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond) = res
+    if cond is None:
+        _, vjp = jax.vjp(
+            lambda *a: block_chain3_reference(*a, None),
+            a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd,
+        )
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        block_chain3_reference, a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond
+    )
+    return vjp(g)
+
+
+block_chain3.defvjp(_chain_fwd, _chain_bwd)

@@ -155,6 +155,12 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", default="PARITY_FULLSIZE.json")
     ap.add_argument("--append", action="store_true", help="merge into existing --out")
+    ap.add_argument(
+        "--phase", choices=["both", "jax", "torch"], default="both",
+        help="'jax' runs the (fast) TPU side and saves --state; 'torch' runs "
+        "the (slow, CPU-only) oracle from --state without holding the TPU",
+    )
+    ap.add_argument("--state", default="/tmp/parity_state.npz")
     args = ap.parse_args()
 
     import jax
@@ -163,25 +169,43 @@ def main() -> None:
     # precision uses bf16 passes)
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from dgm_img_super_resolution_tpu.ckpt.torch_import import export_srdiff_to_torch_keys
     from dgm_img_super_resolution_tpu.core.config import Hparams
-    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
     from dgm_img_super_resolution_tpu.metrics.measure import Measure
 
     hp = Hparams(compute_dtype="float32", timesteps=args.steps)
     path = _IMAGES.get(args.image, args.image)
     lr, hr = _load_lr_hr(path, args.hr_size, hp["sr_scale"])
+    state = f"{args.state}.{args.image}.npz" if args.state == "/tmp/parity_state.npz" else args.state
 
-    print(f"| image {path}: LR {lr.shape} -> HR {hr.shape}", flush=True)
-    pipe = SRDiffPipeline(hp, rng=jax.random.PRNGKey(42))
-    t0 = time.time()
-    out_jax = pipe.upscale(lr, jax.random.PRNGKey(args.seed))
-    print(f"| jax ({jax.default_backend()}) sample done in {time.time() - t0:.1f}s", flush=True)
+    if args.phase in ("both", "jax"):
+        from dgm_img_super_resolution_tpu.ckpt.torch_import import (
+            export_srdiff_to_torch_keys,
+        )
+        from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
 
-    torch_sd = {
-        k: np.asarray(v, np.float32)
-        for k, v in export_srdiff_to_torch_keys(pipe.params).items()
-    }
+        print(f"| image {path}: LR {lr.shape} -> HR {hr.shape}", flush=True)
+        pipe = SRDiffPipeline(hp, rng=jax.random.PRNGKey(42))
+        t0 = time.time()
+        out_jax = pipe.upscale(lr, jax.random.PRNGKey(args.seed))
+        print(f"| jax ({jax.default_backend()}) sample done in {time.time() - t0:.1f}s",
+              flush=True)
+        torch_sd = {
+            k: np.asarray(v, np.float32)
+            for k, v in export_srdiff_to_torch_keys(pipe.params).items()
+        }
+        if args.phase == "jax":
+            np.savez(state, __out_jax__=np.asarray(out_jax),
+                     __backend__=np.asarray(jax.default_backend()), **torch_sd)
+            print(f"| wrote {state}; run --phase torch to finish")
+            return
+        jax_backend = jax.default_backend()
+    else:
+        blob = np.load(state)
+        out_jax = blob["__out_jax__"]
+        jax_backend = str(blob["__backend__"])
+        torch_sd = {k: blob[k] for k in blob.files if not k.startswith("__")}
+        print(f"| loaded {state} (jax side ran on {jax_backend})", flush=True)
+
     t0 = time.time()
     out_torch = torch_reference_sample(torch_sd, lr, hp, args.seed, args.steps)
     print(f"| torch oracle done in {time.time() - t0:.1f}s", flush=True)
@@ -197,7 +221,7 @@ def main() -> None:
         "hr_size": args.hr_size,
         "steps": args.steps,
         "config": "hidden=64 nb=8 nf=32 gc=16 mults=1|2|3|4 T=%d cosine" % args.steps,
-        "jax_backend": jax.default_backend(),
+        "jax_backend": jax_backend,
         "jax_vs_torch": {"psnr": jax_vs_torch_psnr, "ssim": jax_vs_torch_ssim},
         "jax_vs_hr": r_jax,
         "torch_vs_hr": r_torch,
