@@ -98,7 +98,6 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--hr-size", type=int, default=512)
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--ddim-steps", type=int, nargs="+", default=[8, 10, 20, 50, 100])
     ap.add_argument("--out", default="DDIM_OPERATING_POINT.json")
     ap.add_argument(
         "--work-dir",
@@ -142,45 +141,64 @@ def main() -> None:
 
     regions = eval_regions(args.hr_size, scale)
     measure = Measure()
-    modes = [("ddpm", 100)] + [("ddim", s) for s in args.ddim_steps]
+    # η sweep rationale: the round-2 v1 run showed η=0 DDIM saturating ~4 dB
+    # below the ancestral chain regardless of step count on the overfit
+    # model — the gap is the *stochasticity*, not integration error. η=1
+    # DDIM over a strided subsequence is algebraically the respaced
+    # ancestral chain (σ² = respaced posterior variance), so it is the
+    # candidate fast operating point; a second ddpm seed bounds the
+    # seed-noise floor that "within 0.1 dB" must be read against.
+    modes = [
+        ("ddpm", 100, 0.0, "ddpm100", args.seed),
+        ("ddpm", 100, 0.0, "ddpm100_seed2", args.seed + 1),
+        ("ddim", 10, 0.0, "ddim10_eta0", args.seed),
+        ("ddim", 20, 0.0, "ddim20_eta0", args.seed),
+        ("ddim", 8, 1.0, "ddim8_eta1", args.seed),
+        ("ddim", 10, 1.0, "ddim10_eta1", args.seed),
+        ("ddim", 20, 1.0, "ddim20_eta1", args.seed),
+        ("ddim", 50, 1.0, "ddim50_eta1", args.seed),
+    ]
     results: dict[str, dict] = {}
     goldens: dict[str, np.ndarray] = {}
-    for sampler, steps in modes:
+    for sampler, steps, eta, key, skey in modes:
         mhp = hp.replace(
-            sampler=sampler, sample_timesteps=steps if sampler == "ddim" else 0
+            sampler=sampler,
+            sample_timesteps=steps if sampler == "ddim" else 0,
+            ddim_eta=eta,
         )
         pipe = SRDiffPipeline(mhp, params=params)
-        key = f"{sampler}{steps}"
-        results[key] = {"sampler": sampler, "steps": steps}
+        results[key] = {"sampler": sampler, "steps": steps, "eta": eta}
         for name, reg in regions.items():
             t0 = time.time()
-            out = pipe.upscale(reg["lr_pm1"], jax.random.PRNGKey(args.seed))
+            out = pipe.upscale(reg["lr_pm1"], jax.random.PRNGKey(skey))
             dt = time.time() - t0
             u8 = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
-            if sampler == "ddpm":
+            if key == "ddpm100":
                 goldens[name] = u8
             results[key][name] = {
                 "psnr_vs_hr": measure.psnr(u8, reg["hr_u8"]),
                 "ssim_vs_hr": measure.ssim(u8, reg["hr_u8"]),
                 "wall_s_incl_compile": round(dt, 2),
             }
-            if sampler != "ddpm":
+            if key != "ddpm100":
                 results[key][name]["psnr_vs_golden"] = measure.psnr(u8, goldens[name])
                 results[key][name]["ssim_vs_golden"] = measure.ssim(u8, goldens[name])
         mean_d = np.mean(
             [results[key][n]["psnr_vs_hr"] for n in regions]
         )
-        print(f"| {key:8s} mean PSNR-vs-HR {mean_d:.3f} dB", flush=True)
+        print(f"| {key:14s} mean PSNR-vs-HR {mean_d:.3f} dB", flush=True)
 
-    # operating point: fewest DDIM steps within 0.1 dB of the ancestral
-    # chain's mean PSNR-vs-HR
+    # operating point: fewest sampling steps within 0.1 dB of the ancestral
+    # chain's mean PSNR-vs-HR (seed floor reported alongside)
     ddpm_mean = np.mean([results["ddpm100"][n]["psnr_vs_hr"] for n in regions])
+    seed_floor = float(
+        ddpm_mean - np.mean([results["ddpm100_seed2"][n]["psnr_vs_hr"] for n in regions])
+    )
     chosen = None
-    for sampler, steps in modes[1:]:
-        key = f"{sampler}{steps}"
+    for sampler, steps, eta, key, _ in sorted(modes[2:], key=lambda m: m[1]):
         mean = np.mean([results[key][n]["psnr_vs_hr"] for n in regions])
         if ddpm_mean - mean <= 0.1:
-            chosen = {"sampler": sampler, "steps": steps,
+            chosen = {"sampler": sampler, "steps": steps, "eta": eta, "mode": key,
                       "delta_db_vs_ddpm100": round(float(ddpm_mean - mean), 4)}
             break
     rec = {
@@ -190,6 +208,7 @@ def main() -> None:
         "hr_size": args.hr_size,
         "backend": jax.default_backend(),
         "ddpm100_mean_psnr_vs_hr": round(float(ddpm_mean), 4),
+        "seed_noise_floor_db": round(seed_floor, 4),
         "operating_point": chosen,
         "results": results,
     }

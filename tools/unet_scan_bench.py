@@ -1,5 +1,6 @@
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
 from dgm_img_super_resolution_tpu.models.unet import Unet
 
 B, HR, LR, T = 8, 512, 128, 20
