@@ -48,10 +48,15 @@ def main() -> None:
 
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # eta=1 DDIM over the strided subsequence IS the respaced ancestral
+    # chain — the quality-validated operating point (docs/PARITY.md "DDIM
+    # operating point": eta=0 loses ~4 dB regardless of step count).
+    eta = float(os.environ.get("BENCH_ETA", "1.0"))
     hp = Hparams(
         compute_dtype="bfloat16",
         sampler=sampler,
         sample_timesteps=steps if sampler == "ddim" else 0,
+        ddim_eta=eta,
     )
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     lr_size = 128  # → 512×512 output at ×4
@@ -100,6 +105,7 @@ def main() -> None:
                 "latency_batch": batch,
                 "sampler": sampler,
                 "steps": steps,
+                "eta": eta,
             }
         )
     )

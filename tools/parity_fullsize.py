@@ -165,6 +165,11 @@ def main() -> None:
 
     import jax
 
+    if args.phase == "torch":
+        # the oracle phase must not grab the TPU (the site config pins
+        # jax_platforms=axon,cpu, so the env var alone cannot force CPU);
+        # jax is only used for noise generation here
+        jax.config.update("jax_platforms", "cpu")
     # full f32 accuracy on the TPU MXU for the parity claim (default conv
     # precision uses bf16 passes)
     jax.config.update("jax_default_matmul_precision", "highest")
