@@ -161,6 +161,27 @@ def test_ddim_sample_runs_and_is_deterministic_at_eta0(tiny_diffusion):
     assert np.abs(np.asarray(i1) - np.asarray(i2)).max() > 0
 
 
+def test_ddim_eta1_full_T_equals_ancestral_chain(tiny_diffusion):
+    """η=1 DDIM over the FULL timestep sequence is algebraically the ancestral
+    chain (σ² = posterior variance; the update means coincide via the
+    recomputed-ε identity). This is the correctness basis of the fast
+    operating point (docs/PARITY.md "DDIM operating point"): η=1 over a
+    strided subsequence is the *respaced* ancestral sampler. Both paths share
+    the per-step fold_in(rng, t) noise keys, so full-T outputs must agree to
+    float32 accumulation error."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(11)
+    anc, _ = jax.jit(lambda p, a, b, k: d.sample(p, a, b, k))(params, lr, lr_up, key)
+    ddim, _ = jax.jit(
+        lambda p, a, b, k: d.ddim_sample(
+            p, a, b, k, num_steps=d.num_timesteps, eta=1.0
+        )
+    )(params, lr, lr_up, key)
+    np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc), atol=2e-4)
+
+
 def test_interpolate_runs(tiny_diffusion):
     d, params = tiny_diffusion
     x1 = jnp.zeros((1, 16, 16, 3))
