@@ -32,6 +32,7 @@ def main() -> None:
     import os
 
     import jax
+    import jax.numpy as jnp
 
     # persistent compilation cache: repeat bench runs skip the (slow,
     # tunnel-bound) XLA compile of the sampler scan
@@ -46,12 +47,24 @@ def main() -> None:
     from dgm_img_super_resolution_tpu.core.config import Hparams
     from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
 
-    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    # eta=1 DDIM over the strided subsequence IS the respaced ancestral
-    # chain — the quality-validated operating point (docs/PARITY.md "DDIM
-    # operating point": eta=0 loses ~4 dB regardless of step count).
-    eta = float(os.environ.get("BENCH_ETA", "1.0"))
+    # Default operating point: the quality-validated one recorded by
+    # tools/ddim_operating_point.py (fewest sampler steps within 0.1 dB of
+    # the T=100 ancestral chain; eta=1 DDIM over the strided subsequence IS
+    # the respaced ancestral chain — pinned exactly at full T by
+    # tests/test_diffusion.py::test_ddim_eta1_full_T_equals_ancestral_chain).
+    # Env vars override; BENCH_SAMPLER=ddpm BENCH_STEPS=100 is the
+    # reference's full chain.
+    op = {"sampler": "ddim", "steps": 20, "eta": 1.0}
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "DDIM_OPERATING_POINT.json")) as f:
+            rec = json.load(f).get("operating_point")
+        if rec:
+            op = rec
+    except Exception:
+        pass
+    sampler = os.environ.get("BENCH_SAMPLER", op["sampler"])
+    steps = int(os.environ.get("BENCH_STEPS", str(op["steps"])))
+    eta = float(os.environ.get("BENCH_ETA", str(op.get("eta", 1.0))))
     hp = Hparams(
         compute_dtype="bfloat16",
         sampler=sampler,
@@ -65,16 +78,22 @@ def main() -> None:
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (batch, lr_size, lr_size, 3), dtype=np.uint8)
 
-    # warmup (compiles the full sampler scan)
-    out = pipe.upscale_batch(imgs, jax.random.PRNGKey(0))
+    # warmup (compiles the full sampler scan); uint8 device-side quantisation
+    # is the serving wire format and 4× less D2H than float32 — material
+    # through the build environment's tunneled device link.
+    out = np.asarray(pipe.upscale_batch_device(imgs, jax.random.PRNGKey(0), as_uint8=True))
     assert out.shape == (batch, 512, 512, 3), out.shape
+    assert out.dtype == np.uint8
 
     # steady-state throughput: dispatch all iterations, fetch results at the
     # end — device→host transfers of batch i overlap batch i+1's compute,
     # exactly how a serving deployment pipelines requests.
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     t0 = time.perf_counter()
-    outs = [pipe.upscale_batch_device(imgs, jax.random.PRNGKey(i)) for i in range(iters)]
+    outs = [
+        pipe.upscale_batch_device(imgs, jax.random.PRNGKey(i), as_uint8=True)
+        for i in range(iters)
+    ]
     outs = [np.asarray(o) for o in outs]
     dt = time.perf_counter() - t0
     assert outs[-1].shape == (batch, 512, 512, 3)
@@ -87,8 +106,10 @@ def main() -> None:
     lats = []
     for i in range(lat_iters):
         t0 = time.perf_counter()
-        o = pipe.upscale_batch_device(imgs, jax.random.PRNGKey(100 + i))
-        float(o.sum())  # device-complete sync (block_until_ready is a no-op on the tunnel)
+        o = pipe.upscale_batch_device(imgs, jax.random.PRNGKey(100 + i), as_uint8=True)
+        # device-complete sync via scalar fetch (block_until_ready is a no-op
+        # on the tunnel); f32 cast avoids uint8 accumulator overflow
+        float(jnp.sum(o.astype(jnp.float32)))
         lats.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lats, 50))
     p99 = float(np.percentile(lats, 99))

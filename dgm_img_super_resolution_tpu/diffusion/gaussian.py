@@ -268,7 +268,13 @@ class GaussianDiffusion:
         rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
         cond = self._project_cond(params, cond)
         rng_init, rng_steps = jax.random.split(rng)
-        x = jax.random.normal(rng_init, shape, jnp.float32)
+        if self.res:
+            x = jax.random.normal(rng_init, shape, jnp.float32)
+        else:
+            # non-res regime: start from the noised LR-upsample, exactly like
+            # the ancestral sampler (reference model.py:1070-1074)
+            t0 = jnp.full((b,), T - 1, jnp.int32)
+            x = self.q_sample(img_lr_up, t0, jax.random.normal(rng_init, shape, jnp.float32))
 
         acp = s.alphas_cumprod
 

@@ -61,7 +61,7 @@ class SRDiffPipeline:
 
     # ----------------------------------------------------------- jitted core
     @functools.lru_cache(maxsize=8)
-    def _sample_fn(self, lr_h: int, lr_w: int):
+    def _sample_fn(self, lr_h: int, lr_w: int, as_uint8: bool = False):
         scale = self.hp["sr_scale"]
         sampler = self.hp.get("sampler", "ddpm")
         num_steps = self.hp.get("sample_timesteps", 0) or None
@@ -75,15 +75,24 @@ class SRDiffPipeline:
                 )
             else:
                 img, rrdb_out = self.diffusion.sample(params, img_lr, img_lr_up, rng)
-            return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            out = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            if as_uint8:
+                # quantise on device: the serving wire format, and 4× less
+                # device→host traffic than float32 (matches the host-side
+                # np.round(out*255) convention used by Measure)
+                out = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out
 
         return jax.jit(run)
 
-    def upscale_batch_device(self, imgs, rng: jax.Array | None = None) -> jax.Array:
+    def upscale_batch_device(
+        self, imgs, rng: jax.Array | None = None, as_uint8: bool = False
+    ) -> jax.Array:
         """Like :meth:`upscale_batch` but returns the device array without
         fetching to host — for chained on-device post-processing and for
         pipelined throughput (dispatch several batches, fetch at the end, so
-        device→host transfers overlap the next batch's compute)."""
+        device→host transfers overlap the next batch's compute).
+        ``as_uint8`` quantises to uint8 [0,255] inside the jitted program."""
         imgs = np.asarray(imgs)
         x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
         # The UNet halves the HR grid once per down stage, so it must divide
@@ -101,7 +110,7 @@ class SRDiffPipeline:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         x = shard_batch(x, self.mesh)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        fn = self._sample_fn(x.shape[1], x.shape[2])
+        fn = self._sample_fn(x.shape[1], x.shape[2], as_uint8)
         out = fn(self.params, x, rng)
         if ph or pw:
             out = out[:, : h * scale, : w * scale]

@@ -19,6 +19,17 @@ import jax  # noqa: E402
 # which overrides the env var — force CPU explicitly for the test session.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-dominated on this
+# 1-core host (sampler scans, train steps), and the cache cuts warm reruns
+# ~7× (measured 21.8 s → 3.2 s for the tiny sampler scan). Safe on CPU: the
+# cache is keyed on the full HLO + flags; the "machine feature" stderr notes
+# on load are spurious same-host AOT pseudo-feature mismatches.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

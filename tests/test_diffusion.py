@@ -182,6 +182,25 @@ def test_ddim_eta1_full_T_equals_ancestral_chain(tiny_diffusion):
     np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc), atol=2e-4)
 
 
+def test_ddim_eta1_full_T_equals_ancestral_nonres():
+    """Same identity in the non-residual regime: ddim_sample must start from
+    q_sample(img_lr_up, T-1) exactly like the ancestral sampler
+    (reference model.py:1070-1074), not from pure noise."""
+    cfg = TINY.replace(res=False)
+    d = build_srdiff(cfg)
+    params = init_srdiff_params(d, jax.random.PRNGKey(0), cfg, hr_size=16)
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(5)
+    anc, _ = jax.jit(lambda p, a, b, k: d.sample(p, a, b, k))(params, lr, lr_up, key)
+    ddim, _ = jax.jit(
+        lambda p, a, b, k: d.ddim_sample(
+            p, a, b, k, num_steps=d.num_timesteps, eta=1.0
+        )
+    )(params, lr, lr_up, key)
+    np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc), atol=2e-4)
+
+
 def test_interpolate_runs(tiny_diffusion):
     d, params = tiny_diffusion
     x1 = jnp.zeros((1, 16, 16, 3))

@@ -158,6 +158,22 @@ def test_multidevice_inference_matches_single_device(rng):
     np.testing.assert_allclose(outs["dp=8"], outs["dp=1"], atol=1e-4, rtol=1e-4)
 
 
+def test_upscale_batch_device_uint8_matches_float_path(rng):
+    """`as_uint8=True` quantises on device (the serving wire format, 4× less
+    D2H than float32) and must equal the host-side round(float*255)."""
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    hp = TINY.replace(timesteps=4)
+    pipe = SRDiffPipeline(hp, rng=jax.random.PRNGKey(5))
+    lr_imgs = rng.uniform(-1.0, 1.0, (2, 8, 8, 3)).astype(np.float32)
+    f = pipe.upscale_batch(lr_imgs, jax.random.PRNGKey(3))
+    u = np.asarray(pipe.upscale_batch_device(lr_imgs, jax.random.PRNGKey(3), as_uint8=True))
+    assert u.dtype == np.uint8
+    want = np.clip(np.round(f * 255.0), 0, 255).astype(np.uint8)
+    # ties at exactly .5 may round differently across backends; allow ±1 lsb
+    assert np.abs(u.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
 def test_shard_batch_warns_on_non_divisible(rng, caplog):
     import logging
 
