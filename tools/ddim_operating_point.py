@@ -158,9 +158,22 @@ def main() -> None:
         ("ddim", 20, 1.0, "ddim20_eta1", args.seed),
         ("ddim", 50, 1.0, "ddim50_eta1", args.seed),
     ]
+    # eval phase is resumable too: each finished mode is persisted (with the
+    # golden u8 images) so a tunnel drop mid-eval only redoes the mode in
+    # flight, not the whole sweep
+    partial_path = os.path.join(args.work_dir, "eval_partial.json")
+    golden_path = os.path.join(args.work_dir, "goldens.npz")
     results: dict[str, dict] = {}
     goldens: dict[str, np.ndarray] = {}
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            results = json.load(f)
+        if os.path.exists(golden_path):
+            goldens = dict(np.load(golden_path))
+        print(f"| resuming eval: {sorted(results)} done", flush=True)
     for sampler, steps, eta, key, skey in modes:
+        if key in results:
+            continue
         mhp = hp.replace(
             sampler=sampler,
             sample_timesteps=steps if sampler == "ddim" else 0,
@@ -180,13 +193,17 @@ def main() -> None:
                 "ssim_vs_hr": measure.ssim(u8, reg["hr_u8"]),
                 "wall_s_incl_compile": round(dt, 2),
             }
-            if key != "ddpm100":
+            if key != "ddpm100" and name in goldens:
                 results[key][name]["psnr_vs_golden"] = measure.psnr(u8, goldens[name])
                 results[key][name]["ssim_vs_golden"] = measure.ssim(u8, goldens[name])
         mean_d = np.mean(
             [results[key][n]["psnr_vs_hr"] for n in regions]
         )
         print(f"| {key:14s} mean PSNR-vs-HR {mean_d:.3f} dB", flush=True)
+        if key == "ddpm100":
+            np.savez(golden_path, **goldens)
+        with open(partial_path, "w") as f:
+            json.dump(results, f)
 
     # operating point: fewest sampling steps within 0.1 dB of the ancestral
     # chain's mean PSNR-vs-HR (seed floor reported alongside)
