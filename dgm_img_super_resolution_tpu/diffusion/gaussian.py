@@ -216,13 +216,11 @@ class GaussianDiffusion:
             ).astype(jnp.float32)
         return self.p_sample_from_pred(x, t, noise_pred, rng, clip_denoised)
 
-    def sample(self, params, img_lr, img_lr_up, rng, shape=None, save_intermediate=False):
-        """Ancestral sampling, one ``lax.scan`` over all T steps.
-
-        Returns ``(img, rrdb_out)`` (plus stacked intermediates when
-        ``save_intermediate``), matching reference ``sample()``
-        (``model.py:1062-1091``) but fully on-device.
-        """
+    def sample_prepare(self, params, img_lr, img_lr_up, rng, shape=None):
+        """Everything before the sampler scan: RRDB condition (computed once,
+        reference ``model.py:1072``), cond projection, and the initial state.
+        Returns ``(x, cond, rrdb_out, rng_steps)`` — shared by the one-scan
+        samplers and the segmented progress path."""
         shape = tuple(shape) if shape is not None else img_lr_up.shape
         b = shape[0]
         with jax.named_scope("rrdb_cond"):
@@ -232,8 +230,45 @@ class GaussianDiffusion:
         if self.res:
             x = jax.random.normal(rng_init, shape, jnp.float32)
         else:
+            # non-res regime: start from the noised LR-upsample
+            # (reference model.py:1070-1074)
             t0 = jnp.full((b,), self.num_timesteps - 1, jnp.int32)
             x = self.q_sample(img_lr_up, t0, jax.random.normal(rng_init, shape, jnp.float32))
+        return x, cond, rrdb_out, rng_steps
+
+    def sample_segment(self, params, x, cond, img_lr_up, ts, rng_steps):
+        """Ancestral scan over an arbitrary (descending) timestep slice.
+        Per-step noise is keyed by ``fold_in(rng_steps, t)``, so any
+        segmentation of the schedule reproduces the single-scan result."""
+        b = x.shape[0]
+
+        def step(x, ti):
+            t = jnp.full((b,), ti, jnp.int32)
+            x_next, _ = self.p_sample(
+                params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
+                cond_projected=True,
+            )
+            return x_next, None
+
+        with jax.named_scope("sampler_scan"):
+            x, _ = jax.lax.scan(step, x, ts)
+        return x
+
+    def sample(self, params, img_lr, img_lr_up, rng, shape=None, save_intermediate=False):
+        """Ancestral sampling, one ``lax.scan`` over all T steps.
+
+        Returns ``(img, rrdb_out)`` (plus stacked intermediates when
+        ``save_intermediate``), matching reference ``sample()``
+        (``model.py:1062-1091``) but fully on-device.
+        """
+        x, cond, rrdb_out, rng_steps = self.sample_prepare(
+            params, img_lr, img_lr_up, rng, shape
+        )
+        b = x.shape[0]
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        if not save_intermediate:
+            x = self.sample_segment(params, x, cond, img_lr_up, ts, rng_steps)
+            return self.res2img(x, img_lr_up), rrdb_out
 
         def step(x, ti):
             t = jnp.full((b,), ti, jnp.int32)
@@ -241,42 +276,29 @@ class GaussianDiffusion:
                 params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
                 cond_projected=True,
             )
-            if save_intermediate:
-                return x_next, (self.res2img(x_next, img_lr_up), self.res2img(x0, img_lr_up))
-            return x_next, None
+            return x_next, (self.res2img(x_next, img_lr_up), self.res2img(x0, img_lr_up))
 
-        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         with jax.named_scope("sampler_scan"):
             x, intermediates = jax.lax.scan(step, x, ts)
-        img = self.res2img(x, img_lr_up)
-        if save_intermediate:
-            return img, rrdb_out, intermediates
-        return img, rrdb_out
+        return self.res2img(x, img_lr_up), rrdb_out, intermediates
 
-    def ddim_sample(self, params, img_lr, img_lr_up, rng, num_steps=None, eta=0.0, shape=None):
-        """DDIM sampler over a strided timestep subset (η=0 → deterministic).
-
-        TPU-native fast path: T=100 ancestral quality at ~T/5 UNet forwards.
-        """
-        shape = tuple(shape) if shape is not None else img_lr_up.shape
-        b = shape[0]
-        s = self.schedule
+    def ddim_timesteps(self, num_steps=None):
+        """The strided (descending) DDIM schedule and its successor array
+        (−1 terminates) — shared by the one-scan and segmented paths."""
         T = self.num_timesteps
         num_steps = num_steps or T
         ts = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)[::-1]
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
-        rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
-        cond = self._project_cond(params, cond)
-        rng_init, rng_steps = jax.random.split(rng)
-        if self.res:
-            x = jax.random.normal(rng_init, shape, jnp.float32)
-        else:
-            # non-res regime: start from the noised LR-upsample, exactly like
-            # the ancestral sampler (reference model.py:1070-1074)
-            t0 = jnp.full((b,), T - 1, jnp.int32)
-            x = self.q_sample(img_lr_up, t0, jax.random.normal(rng_init, shape, jnp.float32))
+        return ts, ts_prev
 
-        acp = s.alphas_cumprod
+    def ddim_segment(self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta=0.0):
+        """DDIM scan over an arbitrary slice of the strided schedule. η=1 over
+        the full subsequence is the respaced ancestral chain (σ² = respaced
+        posterior variance; pinned exactly at full T by
+        ``tests/test_diffusion.py``); per-step noise keys are
+        ``fold_in(rng_steps, t)``, so segmentation is result-invariant."""
+        b = x.shape[0]
+        acp = self.schedule.alphas_cumprod
 
         def step(x, t_pair):
             ti, tp = t_pair
@@ -298,7 +320,20 @@ class GaussianDiffusion:
             x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
             return x, None
 
-        x, _ = jax.lax.scan(step, x, (ts, ts_prev))
+        with jax.named_scope("ddim_scan"):
+            x, _ = jax.lax.scan(step, x, (ts, ts_prev))
+        return x
+
+    def ddim_sample(self, params, img_lr, img_lr_up, rng, num_steps=None, eta=0.0, shape=None):
+        """DDIM sampler over a strided timestep subset (η=0 → deterministic).
+
+        TPU-native fast path: T=100 ancestral quality at ~T/5 UNet forwards.
+        """
+        ts, ts_prev = self.ddim_timesteps(num_steps)
+        x, cond, rrdb_out, rng_steps = self.sample_prepare(
+            params, img_lr, img_lr_up, rng, shape
+        )
+        x = self.ddim_segment(params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta)
         return self.res2img(x, img_lr_up), rrdb_out
 
     def interpolate(self, params, x1, x2, img_lr, img_lr_up, rng, t=None, lam=0.5):

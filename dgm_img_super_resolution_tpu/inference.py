@@ -85,14 +85,79 @@ class SRDiffPipeline:
 
         return jax.jit(run)
 
+    @functools.lru_cache(maxsize=8)
+    def _segment_fns(self, lr_h: int, lr_w: int, as_uint8: bool = False):
+        """Jitted pieces for the segmented progress path: prepare (resize +
+        RRDB cond + initial state), one sampler segment, and the epilogue.
+        Per-step noise is keyed by the timestep, so any segmentation
+        reproduces the single-scan result exactly (same program, split)."""
+        scale = self.hp["sr_scale"]
+        sampler = self.hp.get("sampler", "ddpm")
+        eta = self.hp.get("ddim_eta", 0.0)
+        d = self.diffusion
+
+        def prep(params, img_lr, rng):
+            img_lr_up = resize(img_lr, (lr_h * scale, lr_w * scale), variant="torch")
+            x, cond, _, rng_steps = d.sample_prepare(params, img_lr, img_lr_up, rng)
+            return x, cond, img_lr_up, rng_steps
+
+        if sampler == "ddim":
+            def seg(params, x, cond, img_lr_up, rng_steps, ts, ts_prev):
+                return d.ddim_segment(params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta)
+        else:
+            def seg(params, x, cond, img_lr_up, rng_steps, ts, ts_prev):
+                return d.sample_segment(params, x, cond, img_lr_up, ts, rng_steps)
+
+        def finish(params, x, img_lr_up):
+            out = jnp.clip(d.res2img(x, img_lr_up) * 0.5 + 0.5, 0.0, 1.0)
+            if as_uint8:
+                out = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out
+
+        return jax.jit(prep), jax.jit(seg), jax.jit(finish)
+
+    def _run_segmented(self, x_lr, rng, as_uint8, progress_cb, callback_steps):
+        """Drive the sampler in equal host-dispatched segments, firing
+        ``progress_cb(done, total)`` between device calls — the TPU-native
+        realisation of the reference's per-step tqdm (``sample_tqdm``,
+        reference ``model.py:960,1076-1078``; the axon backend has no host
+        callbacks, so per-step maps to per-segment syncs like the SD path)."""
+        prep, seg, finish = self._segment_fns(int(x_lr.shape[1]), int(x_lr.shape[2]), as_uint8)
+        sampler = self.hp.get("sampler", "ddpm")
+        if sampler == "ddim":
+            ts, ts_prev = self.diffusion.ddim_timesteps(
+                self.hp.get("sample_timesteps", 0) or None
+            )
+            ts, ts_prev = np.asarray(ts), np.asarray(ts_prev)
+        else:
+            ts = np.arange(self.hp["timesteps"] - 1, -1, -1)
+            ts_prev = ts - 1
+        x, cond, img_lr_up, rng_steps = prep(self.params, x_lr, rng)
+        total = len(ts)
+        step_sz = max(1, int(callback_steps))
+        done = 0
+        while done < total:
+            take = min(step_sz, total - done)
+            x = seg(
+                self.params, x, cond, img_lr_up, rng_steps,
+                jnp.asarray(ts[done : done + take]),
+                jnp.asarray(ts_prev[done : done + take]),
+            )
+            done += take
+            progress_cb(done, total)
+        return finish(self.params, x, img_lr_up)
+
     def upscale_batch_device(
-        self, imgs, rng: jax.Array | None = None, as_uint8: bool = False
+        self, imgs, rng: jax.Array | None = None, as_uint8: bool = False,
+        progress_cb=None, callback_steps: int = 1,
     ) -> jax.Array:
         """Like :meth:`upscale_batch` but returns the device array without
         fetching to host — for chained on-device post-processing and for
         pipelined throughput (dispatch several batches, fetch at the end, so
         device→host transfers overlap the next batch's compute).
-        ``as_uint8`` quantises to uint8 [0,255] inside the jitted program."""
+        ``as_uint8`` quantises to uint8 [0,255] inside the jitted program.
+        ``progress_cb(done, total)`` fires every ``callback_steps`` sampler
+        steps (between device calls)."""
         imgs = np.asarray(imgs)
         x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
         # The UNet halves the HR grid once per down stage, so it must divide
@@ -110,21 +175,38 @@ class SRDiffPipeline:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         x = shard_batch(x, self.mesh)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        fn = self._sample_fn(x.shape[1], x.shape[2], as_uint8)
-        out = fn(self.params, x, rng)
+        if progress_cb is not None:
+            out = self._run_segmented(x, rng, as_uint8, progress_cb, callback_steps)
+        else:
+            fn = self._sample_fn(x.shape[1], x.shape[2], as_uint8)
+            out = fn(self.params, x, rng)
         if ph or pw:
             out = out[:, : h * scale, : w * scale]
         return out
 
-    def upscale_batch(self, imgs, rng: jax.Array | None = None) -> np.ndarray:
+    def upscale_batch(
+        self, imgs, rng: jax.Array | None = None,
+        progress_cb=None, callback_steps: int = 1,
+    ) -> np.ndarray:
         """imgs: NHWC uint8 [0,255] or float [-1,1] LR batch → NHWC float
         [0,1] SR batch at ×scale resolution."""
-        return np.asarray(self.upscale_batch_device(imgs, rng))
+        return np.asarray(
+            self.upscale_batch_device(
+                imgs, rng, progress_cb=progress_cb, callback_steps=callback_steps
+            )
+        )
 
-    def upscale(self, image, rng: jax.Array | None = None) -> np.ndarray:
+    def upscale(
+        self, image, rng: jax.Array | None = None,
+        progress_cb=None, callback_steps: int = 1,
+    ) -> np.ndarray:
         """Single HWC image → HWC float [0,1] SR image (the
-        ``model_inference`` surface)."""
-        return self.upscale_batch(np.asarray(image)[None], rng)[0]
+        ``model_inference`` surface). ``progress_cb(done, total)`` fires every
+        ``callback_steps`` sampler steps."""
+        return self.upscale_batch(
+            np.asarray(image)[None], rng,
+            progress_cb=progress_cb, callback_steps=callback_steps,
+        )[0]
 
     def interpolate(self, img1, img2, lam: float = 0.5, t: int | None = None,
                     rng: jax.Array | None = None) -> np.ndarray:

@@ -174,6 +174,30 @@ def test_upscale_batch_device_uint8_matches_float_path(rng):
     assert np.abs(u.astype(np.int16) - want.astype(np.int16)).max() <= 1
 
 
+def test_segmented_progress_matches_single_scan(rng):
+    """The segmented progress path (the reference's sample_tqdm surface,
+    model.py:1076-1078) must reproduce the single-scan result: per-step noise
+    is keyed by timestep, so splitting the schedule cannot change the math.
+    Covers both samplers, including a non-divisible final segment."""
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    lr_imgs = rng.uniform(-1.0, 1.0, (2, 8, 8, 3)).astype(np.float32)
+    for hp in (
+        TINY.replace(timesteps=5),
+        TINY.replace(timesteps=8, sampler="ddim", sample_timesteps=5, ddim_eta=1.0),
+    ):
+        pipe = SRDiffPipeline(hp, rng=jax.random.PRNGKey(5))
+        calls = []
+        seg = pipe.upscale_batch(
+            lr_imgs, jax.random.PRNGKey(3),
+            progress_cb=lambda done, total: calls.append((done, total)),
+            callback_steps=2,
+        )
+        one = pipe.upscale_batch(lr_imgs, jax.random.PRNGKey(3))
+        assert calls == [(2, 5), (4, 5), (5, 5)]
+        np.testing.assert_allclose(seg, one, atol=1e-5)
+
+
 def test_shard_batch_warns_on_non_divisible(rng, caplog):
     import logging
 
