@@ -30,6 +30,19 @@ def cmd_infer(args) -> int:
     img = np.asarray(Image.open(args.input).convert("RGB"))
     if args.patch:
         sr = pipe.upscale_large(img, patch=args.patch)
+    elif getattr(args, "progress", False):
+        # sampler progress on stderr (the reference's sample_tqdm surface,
+        # model.py:1076-1078) — segments of 10 keep device dispatches large
+        import sys
+
+        def _bar(done, total):
+            n = int(30 * done / total)
+            sys.stderr.write(f"\r| sampling [{'#' * n}{'.' * (30 - n)}] {done}/{total}")
+            sys.stderr.flush()
+            if done == total:
+                sys.stderr.write("\n")
+
+        sr = pipe.upscale(img, progress_cb=_bar, callback_steps=10)
     else:
         sr = pipe.upscale(img)
     out = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
@@ -172,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output")
     p.add_argument("--ckpt", type=str, default="")
     p.add_argument("--patch", type=int, default=0, help="patch size for tiled large-image SR")
+    p.add_argument("--progress", action="store_true", help="show sampler progress on stderr")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("train", help="train SRDiff on DIV2K-style data")
