@@ -12,6 +12,14 @@ from __future__ import annotations
 import argparse
 import os
 
+# Honour JAX_PLATFORMS even on hosts whose site config pins the platform list
+# (this build image pins "axon,cpu", which silently overrides the env var and
+# makes JAX_PLATFORMS=cpu hang on a dead TPU tunnel instead of using CPU).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from dgm_img_super_resolution_tpu.data.mnist import load_mnist, synthetic_mnist, to_model_input
