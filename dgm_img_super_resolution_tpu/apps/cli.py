@@ -9,7 +9,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# Honour an explicitly set JAX_PLATFORMS even when a site config pins the
+# platform list (e.g. this build image pins "axon,cpu", which overrides the
+# env var and makes JAX_PLATFORMS=cpu hang on a dead TPU tunnel).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
