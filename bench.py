@@ -65,11 +65,13 @@ def main() -> None:
     sampler = os.environ.get("BENCH_SAMPLER", op["sampler"])
     steps = int(os.environ.get("BENCH_STEPS", str(op["steps"])))
     eta = float(os.environ.get("BENCH_ETA", str(op.get("eta", 1.0))))
+    enc_interval = int(os.environ.get("BENCH_ENC", str(op.get("enc_interval", 1))))
     hp = Hparams(
         compute_dtype="bfloat16",
         sampler=sampler,
         sample_timesteps=steps if sampler == "ddim" else 0,
         ddim_eta=eta,
+        enc_interval=enc_interval,
     )
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     lr_size = 128  # → 512×512 output at ×4
@@ -127,6 +129,7 @@ def main() -> None:
                 "sampler": sampler,
                 "steps": steps,
                 "eta": eta,
+                "enc_interval": enc_interval,
             }
         )
     )

@@ -57,6 +57,9 @@ DEFAULTS: dict[str, Any] = {
     "sample_timesteps": 0,  # 0 => full `timesteps`; <T enables DDIM striding
     "sampler": "ddpm",  # ddpm | ddim
     "ddim_eta": 0.0,
+    # >1: recompute the UNet encoder every K-th DDIM step, reuse between
+    # (training-free acceleration, arXiv 2312.09608; quality-validate first)
+    "enc_interval": 1,
     # model
     "denoise_fn": "unet",
     "hidden_size": 64,

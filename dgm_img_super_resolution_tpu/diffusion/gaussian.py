@@ -90,6 +90,20 @@ class GaussianDiffusion:
             {"params": params["denoise_fn"]}, None, None, cond, None, project_only=True
         )
 
+    def _apply_encode(self, params, x, t, cond, img_lr_up):
+        """UNet down path only → (skips, bottleneck). cond must be projected."""
+        return self.denoise_fn.apply(
+            {"params": params["denoise_fn"]}, x, t, cond, img_lr_up,
+            cond_projected=True, mode="encode",
+        )
+
+    def _apply_decode(self, params, enc, t):
+        """UNet mid/up/final from cached encoder features."""
+        return self.denoise_fn.apply(
+            {"params": params["denoise_fn"]}, None, t, None, None,
+            mode="decode", enc_feats=enc,
+        )
+
     def rrdb_cond(self, params, img_lr, img_lr_up):
         """Run the condition encoder once. Returns (rrdb_out, cond)."""
         if not self.use_rrdb:
@@ -291,6 +305,24 @@ class GaussianDiffusion:
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
         return ts, ts_prev
 
+    def _ddim_update(self, x, ti, tp, eps, eta, rng_steps):
+        """One DDIM x_t → x_prev update from a predicted ε (x0-clipped)."""
+        acp = self.schedule.alphas_cumprod
+        a_t = acp[ti]
+        a_prev = jnp.where(tp >= 0, acp[jnp.maximum(tp, 0)], 1.0)
+        x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        # recompute eps from the clipped x0 for consistency
+        eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+            * jnp.sqrt(1.0 - a_t / a_prev)
+        )
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        noise = jax.random.normal(jax.random.fold_in(rng_steps, ti), x.shape, x.dtype)
+        return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+
     def ddim_segment(self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta=0.0):
         """DDIM scan over an arbitrary slice of the strided schedule. η=1 over
         the full subsequence is the respaced ancestral chain (σ² = respaced
@@ -298,42 +330,75 @@ class GaussianDiffusion:
         ``tests/test_diffusion.py``); per-step noise keys are
         ``fold_in(rng_steps, t)``, so segmentation is result-invariant."""
         b = x.shape[0]
-        acp = self.schedule.alphas_cumprod
 
         def step(x, t_pair):
             ti, tp = t_pair
             t = jnp.full((b,), ti, jnp.int32)
             eps = self._apply_denoise(params, x, t, cond, img_lr_up, True).astype(jnp.float32)
-            a_t = acp[ti]
-            a_prev = jnp.where(tp >= 0, acp[jnp.maximum(tp, 0)], 1.0)
-            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-            x0 = jnp.clip(x0, -1.0, 1.0)
-            # recompute eps from the clipped x0 for consistency
-            eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
-            sigma = (
-                eta
-                * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
-                * jnp.sqrt(1.0 - a_t / a_prev)
-            )
-            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-            noise = jax.random.normal(jax.random.fold_in(rng_steps, ti), x.shape, x.dtype)
-            x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
-            return x, None
+            return self._ddim_update(x, ti, tp, eps, eta, rng_steps), None
 
         with jax.named_scope("ddim_scan"):
             x, _ = jax.lax.scan(step, x, (ts, ts_prev))
         return x
 
-    def ddim_sample(self, params, img_lr, img_lr_up, rng, num_steps=None, eta=0.0, shape=None):
+    def ddim_segment_encprop(
+        self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta, enc_interval
+    ):
+        """DDIM with encoder propagation ("Faster Diffusion", arXiv
+        2312.09608): the UNet down path (~58% of forward FLOPs) is computed
+        only at every ``enc_interval``-th step and its skip features reused
+        for the steps between — within a group, ε varies only through the
+        time embedding in the decoder. ``len(ts)`` must be divisible by
+        ``enc_interval`` (callers run the remainder exactly, per-step, at the
+        low-t end where accuracy matters most)."""
+        K = int(enc_interval)
+        assert len(ts) % K == 0, (len(ts), K)
+        b = x.shape[0]
+        tsg = ts.reshape(-1, K)
+        tspg = ts_prev.reshape(-1, K)
+
+        def group(x, t_pair):
+            tg, tpg = t_pair
+            t0 = jnp.full((b,), tg[0], jnp.int32)
+            enc = self._apply_encode(params, x, t0, cond, img_lr_up)
+            for j in range(K):
+                t = jnp.full((b,), tg[j], jnp.int32)
+                eps = self._apply_decode(params, enc, t).astype(jnp.float32)
+                x = self._ddim_update(x, tg[j], tpg[j], eps, eta, rng_steps)
+            return x, None
+
+        with jax.named_scope("ddim_encprop_scan"):
+            x, _ = jax.lax.scan(group, x, (tsg, tspg))
+        return x
+
+    def ddim_sample(self, params, img_lr, img_lr_up, rng, num_steps=None, eta=0.0,
+                    shape=None, enc_interval=1):
         """DDIM sampler over a strided timestep subset (η=0 → deterministic).
 
         TPU-native fast path: T=100 ancestral quality at ~T/5 UNet forwards.
+        ``enc_interval`` > 1 adds encoder propagation (see
+        ``ddim_segment_encprop``); a non-divisible remainder at the low-t end
+        runs exactly, per-step.
         """
         ts, ts_prev = self.ddim_timesteps(num_steps)
         x, cond, rrdb_out, rng_steps = self.sample_prepare(
             params, img_lr, img_lr_up, rng, shape
         )
-        x = self.ddim_segment(params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta)
+        K = int(enc_interval) if enc_interval else 1
+        if K > 1:
+            n_div = (len(ts) // K) * K
+            if n_div:
+                x = self.ddim_segment_encprop(
+                    params, x, cond, img_lr_up, ts[:n_div], ts_prev[:n_div],
+                    rng_steps, eta, K,
+                )
+            if n_div < len(ts):
+                x = self.ddim_segment(
+                    params, x, cond, img_lr_up, ts[n_div:], ts_prev[n_div:],
+                    rng_steps, eta,
+                )
+        else:
+            x = self.ddim_segment(params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta)
         return self.res2img(x, img_lr_up), rrdb_out
 
     def interpolate(self, params, x1, x2, img_lr, img_lr_up, rng, t=None, lam=0.5):

@@ -72,6 +72,7 @@ class SRDiffPipeline:
                 img, rrdb_out = self.diffusion.ddim_sample(
                     params, img_lr, img_lr_up, rng, num_steps=num_steps,
                     eta=self.hp.get("ddim_eta", 0.0),
+                    enc_interval=self.hp.get("enc_interval", 1),
                 )
             else:
                 img, rrdb_out = self.diffusion.sample(params, img_lr, img_lr_up, rng)
@@ -121,7 +122,9 @@ class SRDiffPipeline:
         ``progress_cb(done, total)`` between device calls — the TPU-native
         realisation of the reference's per-step tqdm (``sample_tqdm``,
         reference ``model.py:960,1076-1078``; the axon backend has no host
-        callbacks, so per-step maps to per-segment syncs like the SD path)."""
+        callbacks, so per-step maps to per-segment syncs like the SD path).
+        Runs with ``enc_interval=1`` (exact sampler) regardless of config —
+        the progress UI is not the serving path."""
         prep, seg, finish = self._segment_fns(int(x_lr.shape[1]), int(x_lr.shape[2]), as_uint8)
         sampler = self.hp.get("sampler", "ddpm")
         if sampler == "ddim":

@@ -57,27 +57,39 @@ class Unet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, time, cond, img_lr_up=None, *, cond_projected=False, project_only=False):
+    def __call__(self, x, time, cond, img_lr_up=None, *, cond_projected=False,
+                 project_only=False, mode="full", enc_feats=None):
         """x: (N,H,W,3) noisy residual; time: (N,); cond: (N,H/s,W/s,C_cond)
         channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3).
 
         ``project_only=True`` returns just the HR-projected condition so the
         sampler can hoist the projection out of the T-step scan (it depends
         on neither x nor t); pass that result back with ``cond_projected=True``.
+
+        ``mode`` splits the forward at the bottleneck for encoder
+        propagation (training-free sampler acceleration: the down path is
+        ~58% of forward FLOPs and drifts slowly across adjacent timesteps —
+        "Faster Diffusion", arXiv 2312.09608):
+
+        - ``"encode"`` → runs the down path only, returns ``(skips, x)``;
+        - ``"decode"`` → takes ``enc_feats=(skips, x)`` and runs
+          mid/up/final only (``x``/``cond``/``img_lr_up`` may be None);
+        - ``"full"`` (default) → both, identical to encode∘decode.
         """
         dims = [3] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
 
-        if cond_projected:
-            cond_proj = cond.astype(self.dtype)
-        else:
-            cond_proj = ConvTranspose2dTorch(
-                self.dim, self.sr_scale * 2, self.sr_scale, self.sr_scale // 2,
-                dtype=self.dtype, name="cond_proj",
-            )(cond)
-        if project_only:
-            return cond_proj
+        if mode != "decode":
+            if cond_projected:
+                cond_proj = cond.astype(self.dtype)
+            else:
+                cond_proj = ConvTranspose2dTorch(
+                    self.dim, self.sr_scale * 2, self.sr_scale, self.sr_scale // 2,
+                    dtype=self.dtype, name="cond_proj",
+                )(cond)
+            if project_only:
+                return cond_proj
 
         t = sinusoidal_pos_emb(time, self.dim).astype(self.dtype)
         t = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_0")(t)
@@ -109,26 +121,32 @@ class Unet(nn.Module):
                 and chain_eligible(x.shape[1], x.shape[2], dim_out)
             )
 
-        h = []
-        for i, (_, dim_out) in enumerate(in_out):
-            is_last = i >= num_res - 1
-            rb1 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")
-            rb2 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")
-            if i == 0 and chain_ok(x, dim_out):
-                x = fused_pair(rb1, rb2, x, cond=cond_proj)
-            else:
-                x = rb1(x, t)
-                x = rb2(x, t)
-                if i == 0:
-                    x = x + cond_proj
-            if i == 0 and self.res and self.up_input:
-                up_proj = nn.Conv(
-                    self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
-                )(reflect_pad(img_lr_up, 1))
-                x = x + up_proj
-            h.append(x)
-            if not is_last:
-                x = Downsample(self.dtype, name=f"down_{i}_downsample")(x)
+        if mode == "decode":
+            h = list(enc_feats[0])
+            x = enc_feats[1]
+        else:
+            h = []
+            for i, (_, dim_out) in enumerate(in_out):
+                is_last = i >= num_res - 1
+                rb1 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")
+                rb2 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")
+                if i == 0 and chain_ok(x, dim_out):
+                    x = fused_pair(rb1, rb2, x, cond=cond_proj)
+                else:
+                    x = rb1(x, t)
+                    x = rb2(x, t)
+                    if i == 0:
+                        x = x + cond_proj
+                if i == 0 and self.res and self.up_input:
+                    up_proj = nn.Conv(
+                        self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
+                    )(reflect_pad(img_lr_up, 1))
+                    x = x + up_proj
+                h.append(x)
+                if not is_last:
+                    x = Downsample(self.dtype, name=f"down_{i}_downsample")(x)
+            if mode == "encode":
+                return tuple(h), x
 
         x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block1")(x, t)
         if self.use_attn:

@@ -201,6 +201,42 @@ def test_ddim_eta1_full_T_equals_ancestral_nonres():
     np.testing.assert_allclose(np.asarray(ddim), np.asarray(anc), atol=2e-4)
 
 
+def test_unet_encode_decode_composition_is_exact(tiny_diffusion):
+    """mode="encode" ∘ mode="decode" must equal the full forward bitwise —
+    the encoder-propagation fast path (arXiv 2312.09608) is built on this
+    split being a pure refactor of the same program."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3)) * 2 - 1
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3))
+    t = jnp.array([3, 5], jnp.int32)
+    _, cond = d.rrdb_cond(params, lr, lr_up)
+    cond = d._project_cond(params, cond)
+    full = d._apply_denoise(params, x, t, cond, lr_up, True)
+    enc = d._apply_encode(params, x, t, cond, lr_up)
+    split = d._apply_decode(params, enc, t)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full), atol=0)
+
+
+def test_ddim_encoder_propagation(tiny_diffusion):
+    """enc_interval=1 is exactly the plain DDIM path; enc_interval=2 with a
+    non-divisible step count (remainder runs per-step) is deterministic,
+    finite, and close to the exact chain (the reuse is an approximation)."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(9)
+    base, _ = d.ddim_sample(params, lr, lr_up, key, num_steps=5, eta=1.0)
+    same, _ = d.ddim_sample(params, lr, lr_up, key, num_steps=5, eta=1.0, enc_interval=1)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(base), atol=0)
+    ep, _ = d.ddim_sample(params, lr, lr_up, key, num_steps=5, eta=1.0, enc_interval=2)
+    ep2, _ = d.ddim_sample(params, lr, lr_up, key, num_steps=5, eta=1.0, enc_interval=2)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(ep2), atol=0)
+    assert np.isfinite(np.asarray(ep)).all()
+    # approximate, not identical — but the same chain up to encoder staleness
+    assert 0 < np.abs(np.asarray(ep) - np.asarray(base)).max() < 0.5
+
+
 def test_interpolate_runs(tiny_diffusion):
     d, params = tiny_diffusion
     x1 = jnp.zeros((1, 16, 16, 3))

@@ -148,15 +148,24 @@ def main() -> None:
     # ancestral chain (σ² = respaced posterior variance), so it is the
     # candidate fast operating point; a second ddpm seed bounds the
     # seed-noise floor that "within 0.1 dB" must be read against.
+    # (sampler, steps, eta, key, seed, enc_interval). The _ep modes measure
+    # encoder propagation (arXiv 2312.09608; enc_interval=K recomputes the
+    # UNet down path — ~58% of forward FLOPs — every K-th step only). They
+    # run after the core sweep and are EXCLUDED from the operating-point
+    # selection (different cost-per-step semantics); their quality deltas
+    # inform whether bench.py may enable enc_interval on top of the point.
     modes = [
-        ("ddpm", 100, 0.0, "ddpm100", args.seed),
-        ("ddpm", 100, 0.0, "ddpm100_seed2", args.seed + 1),
-        ("ddim", 10, 0.0, "ddim10_eta0", args.seed),
-        ("ddim", 20, 0.0, "ddim20_eta0", args.seed),
-        ("ddim", 8, 1.0, "ddim8_eta1", args.seed),
-        ("ddim", 10, 1.0, "ddim10_eta1", args.seed),
-        ("ddim", 20, 1.0, "ddim20_eta1", args.seed),
-        ("ddim", 50, 1.0, "ddim50_eta1", args.seed),
+        ("ddpm", 100, 0.0, "ddpm100", args.seed, 1),
+        ("ddpm", 100, 0.0, "ddpm100_seed2", args.seed + 1, 1),
+        ("ddim", 10, 0.0, "ddim10_eta0", args.seed, 1),
+        ("ddim", 20, 0.0, "ddim20_eta0", args.seed, 1),
+        ("ddim", 8, 1.0, "ddim8_eta1", args.seed, 1),
+        ("ddim", 10, 1.0, "ddim10_eta1", args.seed, 1),
+        ("ddim", 20, 1.0, "ddim20_eta1", args.seed, 1),
+        ("ddim", 50, 1.0, "ddim50_eta1", args.seed, 1),
+        ("ddim", 20, 1.0, "ddim20_eta1_ep2", args.seed, 2),
+        ("ddim", 30, 1.0, "ddim30_eta1_ep2", args.seed, 2),
+        ("ddim", 30, 1.0, "ddim30_eta1_ep3", args.seed, 3),
     ]
     # eval phase is resumable too: each finished mode is persisted (with the
     # golden u8 images) so a tunnel drop mid-eval only redoes the mode in
@@ -171,16 +180,18 @@ def main() -> None:
         if os.path.exists(golden_path):
             goldens = dict(np.load(golden_path))
         print(f"| resuming eval: {sorted(results)} done", flush=True)
-    for sampler, steps, eta, key, skey in modes:
+    for sampler, steps, eta, key, skey, enc_k in modes:
         if key in results:
             continue
         mhp = hp.replace(
             sampler=sampler,
             sample_timesteps=steps if sampler == "ddim" else 0,
             ddim_eta=eta,
+            enc_interval=enc_k,
         )
         pipe = SRDiffPipeline(mhp, params=params)
-        results[key] = {"sampler": sampler, "steps": steps, "eta": eta}
+        results[key] = {"sampler": sampler, "steps": steps, "eta": eta,
+                        "enc_interval": enc_k}
         for name, reg in regions.items():
             t0 = time.time()
             out = pipe.upscale(reg["lr_pm1"], jax.random.PRNGKey(skey))
@@ -212,7 +223,10 @@ def main() -> None:
         ddpm_mean - np.mean([results["ddpm100_seed2"][n]["psnr_vs_hr"] for n in regions])
     )
     chosen = None
-    for sampler, steps, eta, key, _ in sorted(modes[2:], key=lambda m: m[1]):
+    pure = [m for m in modes[2:] if m[5] == 1]
+    for sampler, steps, eta, key, _, _k in sorted(pure, key=lambda m: m[1]):
+        if key not in results:
+            continue
         mean = np.mean([results[key][n]["psnr_vs_hr"] for n in regions])
         if ddpm_mean - mean <= 0.1:
             chosen = {"sampler": sampler, "steps": steps, "eta": eta, "mode": key,
