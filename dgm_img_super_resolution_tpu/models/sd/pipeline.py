@@ -120,7 +120,7 @@ class StableDiffusionUpscalePipeline:
         x = jax.random.normal(rng_lat, (n, h, w, self.vae.latent_channels), jnp.float32)
         return x, img_aug
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
     def _denoise_segment(
         self,
         params,
@@ -131,40 +131,92 @@ class StableDiffusionUpscalePipeline:
         text_states,    # (cond, uncond) each (N, L, D)
         guidance_scale: float,
         noise_level: int,
+        enc_interval: int = 1,
     ):
         """One jitted ``lax.scan`` over a segment of DDIM steps. The full run
         is a single segment; with a progress callback the host splits the
         schedule into equal segments and fires the callback between device
         calls (the axon TPU backend has no host-callback support, so the
-        reference's per-step callback surface maps to per-segment syncs)."""
+        reference's per-step callback surface maps to per-segment syncs).
+
+        ``enc_interval`` > 1 enables encoder propagation (arXiv 2312.09608):
+        the UNet down path runs every K-th step only, its skips reused for
+        the steps between (ε then varies via the time embedding and the
+        decoder's cross-attention). Requires ``len(ts) % K == 0``."""
         s = self.schedule
         n = x.shape[0]
         cond, uncond = text_states
         nl = jnp.full((n,), noise_level, jnp.int32)
         acp = s.alphas_cumprod
         do_cfg = guidance_scale != 1.0
+        if do_cfg:
+            nl2 = jnp.concatenate([nl, nl], axis=0)
+            ctx2 = jnp.concatenate([cond, uncond], axis=0).astype(self.dtype)
 
-        def step(x, t_pair):
-            ti, tp = t_pair
-            t = jnp.full((n,), ti, jnp.int32)
-            inp = jnp.concatenate([x.astype(self.dtype), img_aug], axis=-1)
+        def eps_at(x, t, mode="full", enc=None):
+            """ε(x, t) with CFG; mode/enc select full vs cached-encoder runs."""
+            if mode != "decode":
+                inp = jnp.concatenate([x.astype(self.dtype), img_aug], axis=-1)
             if do_cfg:
-                inp2 = jnp.concatenate([inp, inp], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
-                nl2 = jnp.concatenate([nl, nl], axis=0)
-                ctx2 = jnp.concatenate([cond, uncond], axis=0).astype(self.dtype)
-                eps2 = self.unet.apply({"params": params["unet"]}, inp2, t2, ctx2, nl2)
+                if mode == "encode":
+                    inp2 = jnp.concatenate([inp, inp], axis=0)
+                    return self.unet.apply(
+                        {"params": params["unet"]}, inp2, t2, ctx2, nl2, mode="encode"
+                    )
+                if mode == "decode":
+                    eps2 = self.unet.apply(
+                        {"params": params["unet"]}, None, t2, ctx2, nl2,
+                        mode="decode", enc_feats=enc,
+                    )
+                else:
+                    inp2 = jnp.concatenate([inp, inp], axis=0)
+                    eps2 = self.unet.apply(
+                        {"params": params["unet"]}, inp2, t2, ctx2, nl2
+                    )
                 eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
-            else:
-                eps = self.unet.apply(
-                    {"params": params["unet"]}, inp, t, cond.astype(self.dtype), nl
+                return eps_u + guidance_scale * (eps_c - eps_u)
+            if mode == "encode":
+                return self.unet.apply(
+                    {"params": params["unet"]}, inp, t, cond.astype(self.dtype), nl,
+                    mode="encode",
+                )
+            if mode == "decode":
+                return self.unet.apply(
+                    {"params": params["unet"]}, None, t, cond.astype(self.dtype), nl,
+                    mode="decode", enc_feats=enc,
                 ).astype(jnp.float32)
+            return self.unet.apply(
+                {"params": params["unet"]}, inp, t, cond.astype(self.dtype), nl
+            ).astype(jnp.float32)
+
+        def update(x, ti, tp, eps):
             a_t = acp[ti]
             a_prev = jnp.where(tp >= 0, acp[jnp.maximum(tp, 0)], 1.0)
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             eps_dir = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps
-            return jnp.sqrt(a_prev) * x0 + eps_dir, None  # DDIM η=0
+            return jnp.sqrt(a_prev) * x0 + eps_dir  # DDIM η=0
+
+        K = int(enc_interval)
+        if K > 1:
+            assert len(ts) % K == 0, (len(ts), K)
+
+            def group(x, t_pair):
+                tg, tpg = t_pair
+                enc = eps_at(x, jnp.full((n,), tg[0], jnp.int32), mode="encode")
+                for j in range(K):
+                    t = jnp.full((n,), tg[j], jnp.int32)
+                    eps = eps_at(None, t, mode="decode", enc=enc)
+                    x = update(x, tg[j], tpg[j], eps)
+                return x, None
+
+            x, _ = jax.lax.scan(group, x, (ts.reshape(-1, K), ts_prev.reshape(-1, K)))
+            return x
+
+        def step(x, t_pair):
+            ti, tp = t_pair
+            eps = eps_at(x, jnp.full((n,), ti, jnp.int32))
+            return update(x, ti, tp, eps), None
 
         x, _ = jax.lax.scan(step, x, (ts, ts_prev))
         return x
@@ -188,11 +240,14 @@ class StableDiffusionUpscalePipeline:
         rng: jax.Array | None = None,
         callback: Callable | None = None,
         callback_steps: int = 1,
+        enc_interval: int = 1,
     ) -> np.ndarray:
         """LR image(s) (HWC/NHWC uint8 or [-1,1] float) → ×4 SR images,
         NHWC float [0,1]. The callback fires per step like the reference's
         ``pipeline(..., callback=progress_callback, callback_steps=1)``
-        (``st_app2.py:62-67``)."""
+        (``st_app2.py:62-67``). ``enc_interval`` > 1 enables encoder
+        propagation (no-callback path; a non-divisible remainder at the
+        low-t end runs exactly, per-step)."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         img = np.asarray(image)
         if img.ndim == 3:
@@ -220,10 +275,21 @@ class StableDiffusionUpscalePipeline:
         )
         gs = float(guidance_scale)
         if callback is None:
-            x = self._denoise_segment(
-                self.params, x, img_aug, jnp.asarray(ts), jnp.asarray(ts_prev),
-                text_states, gs, int(noise_level),
-            )
+            K = max(1, int(enc_interval))
+            n_div = (len(ts) // K) * K if K > 1 else len(ts)
+            if K > 1 and n_div:
+                x = self._denoise_segment(
+                    self.params, x, img_aug,
+                    jnp.asarray(ts[:n_div]), jnp.asarray(ts_prev[:n_div]),
+                    text_states, gs, int(noise_level), K,
+                )
+            if n_div < len(ts) or K == 1:
+                x = self._denoise_segment(
+                    self.params, x, img_aug,
+                    jnp.asarray(ts[n_div:] if K > 1 else ts),
+                    jnp.asarray(ts_prev[n_div:] if K > 1 else ts_prev),
+                    text_states, gs, int(noise_level),
+                )
         else:
             # progress surface (reference st_app2.py:52-67): equal segments of
             # `callback_steps`, callback fired between device calls

@@ -109,9 +109,15 @@ class UNet2DCondition(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, timesteps, encoder_hidden_states, class_labels=None):
+    def __call__(self, x, timesteps, encoder_hidden_states, class_labels=None,
+                 *, mode="full", enc_feats=None):
         """x: (N,H,W,in_ch) latent⊕LR; timesteps: (N,); encoder_hidden_states:
-        (N, L, cross_dim) text embedding; class_labels: (N,) LR noise level."""
+        (N, L, cross_dim) text embedding; class_labels: (N,) LR noise level.
+
+        ``mode`` splits the forward at the bottleneck for encoder propagation
+        (arXiv 2312.09608, same mechanism as the SRDiff UNet): ``"encode"``
+        returns ``(skips, h)`` after the down path; ``"decode"`` takes
+        ``enc_feats=(skips, h)`` (``x`` may be None) and runs mid/up/out."""
         chs = list(self.block_out_channels)
         tdim = chs[0] * 4
 
@@ -132,22 +138,28 @@ class UNet2DCondition(nn.Module):
 
         ctx = encoder_hidden_states
 
-        h = nn.Conv(chs[0], (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
-        skips = [h]
-        for i, ch in enumerate(chs):
-            nh, hd = self._heads(ch)
-            for j in range(self.layers_per_block):
-                h = SDResBlock(ch, self.dtype, name=f"down_{i}_res_{j}")(h, temb)
-                if i in self.attn_levels:
-                    h = Transformer2D(
-                        nh, hd, self.transformer_depth, self.use_flash, self.dtype,
-                        self._only_cross(i), name=f"down_{i}_attn_{j}",
-                    )(h, ctx)
-                skips.append(h)
-            if i < len(chs) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
-                skips.append(h)
+        if mode == "decode":
+            skips = list(enc_feats[0])
+            h = enc_feats[1]
+        else:
+            h = nn.Conv(chs[0], (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(x)
+            skips = [h]
+            for i, ch in enumerate(chs):
+                nh, hd = self._heads(ch)
+                for j in range(self.layers_per_block):
+                    h = SDResBlock(ch, self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                    if i in self.attn_levels:
+                        h = Transformer2D(
+                            nh, hd, self.transformer_depth, self.use_flash, self.dtype,
+                            self._only_cross(i), name=f"down_{i}_attn_{j}",
+                        )(h, ctx)
+                    skips.append(h)
+                if i < len(chs) - 1:
+                    h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                                dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                    skips.append(h)
+            if mode == "encode":
+                return tuple(skips), h
 
         nh, hd = self._heads(chs[-1])
         h = SDResBlock(chs[-1], self.dtype, name="mid_res_0")(h, temb)

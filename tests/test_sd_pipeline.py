@@ -101,6 +101,37 @@ def test_sd_pipeline_end_to_end(tiny_pipe):
     assert len(steps_seen) == 3
 
 
+def test_sd_pipeline_encoder_propagation(tiny_pipe):
+    """enc_interval=1 is the plain path bitwise; enc_interval=2 over 5 steps
+    (remainder runs per-step) is deterministic and finite. Exactness of the
+    UNet encode∘decode split is pinned separately below."""
+    img = np.random.default_rng(2).integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    base = tiny_pipe("a cat", img, num_inference_steps=5, rng=jax.random.PRNGKey(5))
+    same = tiny_pipe("a cat", img, num_inference_steps=5, rng=jax.random.PRNGKey(5),
+                     enc_interval=1)
+    np.testing.assert_allclose(same, base, atol=0)
+    ep = tiny_pipe("a cat", img, num_inference_steps=5, rng=jax.random.PRNGKey(5),
+                   enc_interval=2)
+    ep2 = tiny_pipe("a cat", img, num_inference_steps=5, rng=jax.random.PRNGKey(5),
+                    enc_interval=2)
+    np.testing.assert_allclose(ep, ep2, atol=0)
+    assert np.isfinite(ep).all()
+    assert np.abs(ep - base).max() > 0  # approximation, not identity
+
+
+def test_sd_unet_encode_decode_composition_is_exact(tiny_pipe):
+    unet, params = tiny_pipe.unet, tiny_pipe.params["unet"]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, unet.in_channels)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 5, unet.cross_attention_dim)), jnp.float32)
+    nl = jnp.array([2, 2], jnp.int32)
+    full = unet.apply({"params": params}, x, t, ctx, nl)
+    enc = unet.apply({"params": params}, x, t, ctx, nl, mode="encode")
+    split = unet.apply({"params": params}, None, t, ctx, nl, mode="decode", enc_feats=enc)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full), atol=0)
+
+
 def test_sd_pipeline_batched_and_deterministic(tiny_pipe):
     imgs = np.random.default_rng(1).integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
     a = tiny_pipe(["a cat", "a car"], imgs, num_inference_steps=2, rng=jax.random.PRNGKey(3))
