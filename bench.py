@@ -28,6 +28,33 @@ import numpy as np
 BASELINE_UPSCALES_PER_SEC = 1.0 / 15.0  # reference: ~15 s per image (CPU)
 
 
+def resolve_operating_point(env=None, record_path=None):
+    """The benchmarked sampler mode: the quality-validated operating point
+    from DDIM_OPERATING_POINT.json when present, else DDIM-20/η=1 (the
+    respaced ancestral chain — docs/PARITY.md "DDIM operating point");
+    BENCH_SAMPLER/BENCH_STEPS/BENCH_ETA/BENCH_ENC override."""
+    import os
+
+    env = os.environ if env is None else env
+    record_path = record_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "DDIM_OPERATING_POINT.json"
+    )
+    op = {"sampler": "ddim", "steps": 20, "eta": 1.0}
+    try:
+        with open(record_path) as f:
+            rec = json.load(f).get("operating_point")
+        if rec:
+            op = rec
+    except Exception:
+        pass
+    return {
+        "sampler": env.get("BENCH_SAMPLER", op["sampler"]),
+        "steps": int(env.get("BENCH_STEPS", str(op["steps"]))),
+        "eta": float(env.get("BENCH_ETA", str(op.get("eta", 1.0)))),
+        "enc_interval": int(env.get("BENCH_ENC", str(op.get("enc_interval", 1)))),
+    }
+
+
 def main() -> None:
     import os
 
@@ -47,25 +74,11 @@ def main() -> None:
     from dgm_img_super_resolution_tpu.core.config import Hparams
     from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
 
-    # Default operating point: the quality-validated one recorded by
-    # tools/ddim_operating_point.py (fewest sampler steps within 0.1 dB of
-    # the T=100 ancestral chain; eta=1 DDIM over the strided subsequence IS
-    # the respaced ancestral chain — pinned exactly at full T by
-    # tests/test_diffusion.py::test_ddim_eta1_full_T_equals_ancestral_chain).
-    # Env vars override; BENCH_SAMPLER=ddpm BENCH_STEPS=100 is the
-    # reference's full chain.
-    op = {"sampler": "ddim", "steps": 20, "eta": 1.0}
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "DDIM_OPERATING_POINT.json")) as f:
-            rec = json.load(f).get("operating_point")
-        if rec:
-            op = rec
-    except Exception:
-        pass
-    sampler = os.environ.get("BENCH_SAMPLER", op["sampler"])
-    steps = int(os.environ.get("BENCH_STEPS", str(op["steps"])))
-    eta = float(os.environ.get("BENCH_ETA", str(op.get("eta", 1.0))))
-    enc_interval = int(os.environ.get("BENCH_ENC", str(op.get("enc_interval", 1))))
+    op = resolve_operating_point()
+    sampler = op["sampler"]
+    steps = op["steps"]
+    eta = op["eta"]
+    enc_interval = op["enc_interval"]
     hp = Hparams(
         compute_dtype="bfloat16",
         sampler=sampler,
