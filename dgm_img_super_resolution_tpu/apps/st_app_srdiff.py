@@ -43,19 +43,16 @@ def main() -> None:
         if st.button("Enhance Image"):
             with st.spinner("Sampling on TPU…"):
                 lr = np.asarray(image)
+                # per-step sampler progress (the reference's sample_tqdm
+                # surface, model.py:1076-1078) as a progress bar; segments
+                # of 10 steps keep device dispatches large
+                bar = st.progress(0.0)
+                cb = lambda done, total: bar.progress(done / total)  # noqa: E731
                 if max(lr.shape[:2]) > 128:
-                    sr = pipe.upscale_large(lr, patch=64)
+                    sr = pipe.upscale_large(lr, patch=64, progress_cb=cb, callback_steps=10)
                 else:
-                    # per-step sampler progress (the reference's sample_tqdm
-                    # surface, model.py:1076-1078) as a progress bar; segments
-                    # of 10 steps keep device dispatches large
-                    bar = st.progress(0.0)
-                    sr = pipe.upscale(
-                        lr,
-                        progress_cb=lambda done, total: bar.progress(done / total),
-                        callback_steps=10,
-                    )
-                    bar.empty()
+                    sr = pipe.upscale(lr, progress_cb=cb, callback_steps=10)
+                bar.empty()
                 sr_u8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
             col2.image(sr_u8, caption=f"Enhanced {sr_u8.shape[1]}×{sr_u8.shape[0]}")
             buf = io.BytesIO()

@@ -241,7 +241,8 @@ class SRDiffPipeline:
         return jax.jit(run)
 
     def upscale_large(
-        self, image, patch: int = 64, overlap: int = 0, rng: jax.Array | None = None
+        self, image, patch: int = 64, overlap: int = 0, rng: jax.Array | None = None,
+        progress_cb=None, callback_steps: int = 1,
     ) -> np.ndarray:
         """Patch-parallel SR for large LR images: split the LR grid into
         ``patch``-sized tiles, shard tiles over the mesh as a batch, stitch the
@@ -257,7 +258,10 @@ class SRDiffPipeline:
         scale = self.hp["sr_scale"]
         if overlap > 0 and h >= patch and w >= patch:
             tiles, coords = extract_tiles(x[None], patch, overlap)
-            sr_tiles = self.upscale_batch(np.asarray(tiles), rng)
+            sr_tiles = self.upscale_batch(
+                np.asarray(tiles), rng,
+                progress_cb=progress_cb, callback_steps=callback_steps,
+            )
             out = merge_tiles(
                 jnp.asarray(sr_tiles), coords, (h * scale, w * scale),
                 scale=scale, overlap=overlap, n=1,
@@ -268,6 +272,9 @@ class SRDiffPipeline:
         pad_mode = "reflect" if ph - h < h and pw - w < w else "edge"
         x = jnp.pad(x[None], ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode=pad_mode)
         patches, grid = extract_patches(x, patch)
-        sr_patches = self.upscale_batch(np.asarray(patches), rng)
+        sr_patches = self.upscale_batch(
+            np.asarray(patches), rng,
+            progress_cb=progress_cb, callback_steps=callback_steps,
+        )
         out = merge_patches(jnp.asarray(sr_patches), grid, n=1)
         return np.asarray(out[0, : h * scale, : w * scale])
