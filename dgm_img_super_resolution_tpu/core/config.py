@@ -60,6 +60,14 @@ DEFAULTS: dict[str, Any] = {
     # >1: recompute the UNet encoder every K-th DDIM step, reuse between
     # (training-free acceleration, arXiv 2312.09608; quality-validate first)
     "enc_interval": 1,
+    # serving memory budget: max total HR pixels (batch*H*W) per chip per
+    # device call. Oversized native-size requests auto-route to tiled
+    # upscale_large, and big batches are dispatched in sub-batches that fit.
+    # Default 2^21 = one 8x512x512 batch (the bench operating point) on a
+    # 16 GB v5e chip. 0 disables the guard (reference behaviour: OOM).
+    "max_native_hr_pixels": 2097152,
+    "infer_patch_size": 128,  # LR tile size for auto-tiled large-image SR
+    "infer_patch_overlap": 16,  # LR overlap for feather-blended seams
     # model
     "denoise_fn": "unet",
     "hidden_size": 64,

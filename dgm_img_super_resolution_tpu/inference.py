@@ -18,6 +18,7 @@ Differences from the reference, by design (SURVEY.md §2.7):
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any
 
 import numpy as np
@@ -35,6 +36,8 @@ from dgm_img_super_resolution_tpu.ops.image import (
 )
 from dgm_img_super_resolution_tpu.ops.resize import resize
 from dgm_img_super_resolution_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+logger = logging.getLogger("dgm_img_super_resolution_tpu.inference")
 
 
 class SRDiffPipeline:
@@ -150,6 +153,13 @@ class SRDiffPipeline:
             progress_cb(done, total)
         return finish(self.params, x, img_lr_up)
 
+    def _hr_pixel_budget(self) -> int:
+        """Per-device-call HR-pixel budget (batch × H × W at the SR output
+        resolution), scaled by mesh size since the batch shards over chips.
+        0 = unguarded."""
+        per_chip = int(self.hp.get("max_native_hr_pixels", 0) or 0)
+        return per_chip * int(self.mesh.devices.size) if per_chip else 0
+
     def upscale_batch_device(
         self, imgs, rng: jax.Array | None = None, as_uint8: bool = False,
         progress_cb=None, callback_steps: int = 1,
@@ -160,8 +170,44 @@ class SRDiffPipeline:
         device→host transfers overlap the next batch's compute).
         ``as_uint8`` quantises to uint8 [0,255] inside the jitted program.
         ``progress_cb(done, total)`` fires every ``callback_steps`` sampler
-        steps (between device calls)."""
+        steps (between device calls).
+
+        Batches whose total HR output exceeds the ``max_native_hr_pixels``
+        budget are dispatched in equal-shaped sub-batches (last one padded by
+        repetition, sliced after) so HBM use is bounded regardless of request
+        size — the serving-robustness piece the reference lacks (its app only
+        survives because it resizes every input to 256², st_app1.py:1583-1591).
+        """
         imgs = np.asarray(imgs)
+        budget = self._hr_pixel_budget()
+        scale_ = self.hp["sr_scale"]
+        per_img = int(imgs.shape[1]) * int(imgs.shape[2]) * scale_ * scale_
+        n = int(imgs.shape[0])
+        if budget and n > 1 and n * per_img > budget:
+            sub = max(1, budget // per_img)
+            ndev = int(self.mesh.devices.size)
+            if sub >= ndev:
+                sub = (sub // ndev) * ndev  # keep sub-batches shardable
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            n_chunks = -(-n // sub)
+            outs = []
+            for ci in range(n_chunks):
+                chunk = imgs[ci * sub : (ci + 1) * sub]
+                k = int(chunk.shape[0])
+                if k < sub:  # pad to the compiled shape, drop after
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], sub - k, axis=0)], axis=0
+                    )
+                cb = None
+                if progress_cb is not None:
+                    def cb(done, total, _ci=ci, _nc=n_chunks):
+                        progress_cb(_ci * total + done, _nc * total)
+                outs.append(
+                    self.upscale_batch_device(
+                        chunk, jax.random.fold_in(rng, ci), as_uint8, cb, callback_steps
+                    )[:k]
+                )
+            return jnp.concatenate(outs, axis=0)
         x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
         # The UNet halves the HR grid once per down stage, so it must divide
         # by 2^(stages). Reflect-pad the LR just enough (the reference never
@@ -205,9 +251,31 @@ class SRDiffPipeline:
     ) -> np.ndarray:
         """Single HWC image → HWC float [0,1] SR image (the
         ``model_inference`` surface). ``progress_cb(done, total)`` fires every
-        ``callback_steps`` sampler steps."""
+        ``callback_steps`` sampler steps.
+
+        An image whose native-size SR output would exceed the
+        ``max_native_hr_pixels`` budget auto-routes to feather-blended tiled
+        SR (:meth:`upscale_large` with ``infer_patch_size``/``overlap``), so
+        arbitrarily large inputs work out of the box instead of exhausting
+        HBM."""
+        img = np.asarray(image)
+        budget = self._hr_pixel_budget()
+        scale_ = self.hp["sr_scale"]
+        h, w = int(img.shape[0]), int(img.shape[1])
+        patch = int(self.hp.get("infer_patch_size", 128))
+        if budget and h * w * scale_ * scale_ > budget and max(h, w) > patch:
+            logger.info(
+                "upscale: %dx%d native SR exceeds the HR-pixel budget — "
+                "using tiled SR (patch=%d, overlap=%d)",
+                h, w, patch, int(self.hp.get("infer_patch_overlap", 16)),
+            )
+            return self.upscale_large(
+                img, patch=patch,
+                overlap=int(self.hp.get("infer_patch_overlap", 16)),
+                rng=rng, progress_cb=progress_cb, callback_steps=callback_steps,
+            )
         return self.upscale_batch(
-            np.asarray(image)[None], rng,
+            img[None], rng,
             progress_cb=progress_cb, callback_steps=callback_steps,
         )[0]
 
