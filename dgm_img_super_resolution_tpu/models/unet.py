@@ -102,13 +102,16 @@ class Unet(nn.Module):
         # cost XLA its cross-op fusion per Block) is amortised over the region.
         def fused_pair(rb1, rb2, x, skip=None, cond=None):
             from dgm_img_super_resolution_tpu.models import layers as _l
-            from dgm_img_super_resolution_tpu.ops.pallas.block_chain import block_chain3
+            from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
+                _BLOCK_ROWS as _BC_ROWS,
+                block_chain3,
+            )
 
             a_pre, tv1, r1, wb, bb = rb1(x, t, skip=skip, parts="head")
             tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
             return block_chain3(
                 a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
-                8, _l.CHAIN_INTERPRET,
+                _BC_ROWS, _l.CHAIN_INTERPRET,
             )
 
         def chain_ok(x, dim_out):

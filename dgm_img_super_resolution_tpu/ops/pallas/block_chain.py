@@ -42,9 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dgm_img_super_resolution_tpu.ops.pallas.conv3x3 import pack_weights
 
-# Output rows per grid step. 8 (not 16) keeps the 7 rolling slots + 4 I/O
-# streams inside the ~16 MB VMEM budget at W=512.
-_BLOCK_ROWS = 8
+# Output rows per grid step. 4 is the validated point: 8 overflows VMEM on
+# real Mosaic at W=512 (the 7 rolling (rows+2, W+2, 64→128-lane-padded) slots
+# plus 4-5 double-buffered I/O streams exceed the budget; measured
+# HTTP 500 tpu_compile_helper failure), 4 fits and runs the fused region at
+# ~50 TFLOP/s useful vs ~30 for the XLA composition (tools/block_chain_bench.py).
+_BLOCK_ROWS = 4
 
 
 def _mish_f32(x):
@@ -102,7 +105,7 @@ def _kernel(
 
     @pl.when(j < nb)
     def _assemble():
-        tv1 = tv1_ref[0].astype(jnp.float32)
+        tv1 = tv1_ref[0, 0].astype(jnp.float32)
         h1 = (_mish_f32(a_ref[0]) + tv1).astype(h1_s.dtype)
         h1_s[h1_cur, 1 : rows + 1, 1 : width + 1, :] = h1
 
@@ -123,7 +126,7 @@ def _kernel(
         # complete h1 block j−1's bottom halo.
         @pl.when(j <= nb - 1)
         def _():
-            tv1 = tv1_ref[0].astype(jnp.float32)
+            tv1 = tv1_ref[0, 0].astype(jnp.float32)
             h1_s[h1_prev, rows + 1, 1 : width + 1, :] = (
                 _mish_f32(a_ref[0, 0]) + tv1
             ).astype(h1_s.dtype)
@@ -171,7 +174,7 @@ def _kernel(
         h2_slot = jax.lax.rem(j - 2, 2)
         y1_slot = jax.lax.rem(j - 2, 3)
         bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
-        tv2 = tv2_ref[0].astype(jnp.float32)
+        tv2 = tv2_ref[0, 0].astype(jnp.float32)
         tv2cat = jnp.concatenate([tv2, tv2])
         accs = _rowpack_matmul(y1_s, y1_slot, wc_ref, rows, width, c)
         for r, acc in enumerate(accs):
@@ -255,7 +258,10 @@ def _block_chain3_pallas(
 
     packed = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
     biases = [x.astype(jnp.float32).reshape(1, c) for x in (bb, bc, bd)]
-    tvs = [x.astype(jnp.float32) for x in (tv1, tv2)]
+    # (B,C) → (B,1,C): the per-batch block (1,1,C) then has its last two dims
+    # equal to the array dims, which real Mosaic lowering requires (a (1,C)
+    # block on a (B,C) array violates the sublane-divisibility rule).
+    tvs = [x.astype(jnp.float32).reshape(b, 1, c) for x in (tv1, tv2)]
 
     kern = functools.partial(
         _kernel, rows=block_rows, width=w, c=c, has_cond=has_cond, out_dtype=dtype
@@ -265,7 +271,7 @@ def _block_chain3_pallas(
         lambda i, j, off=off: (i, jnp.clip(j - off, 0, nb - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
-    vec = pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         stream(0),   # a_pre

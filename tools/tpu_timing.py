@@ -26,9 +26,9 @@ import numpy as np
 
 def _chain(f, x, k: int):
     @jax.jit
-    def run(x):
+    def run(x, *consts):
         def step(h, _):
-            return f(h), None
+            return f(h, *consts), None
 
         h, _ = jax.lax.scan(step, x, None, length=k)
         return jnp.sum(h.astype(jnp.float32))
@@ -36,18 +36,23 @@ def _chain(f, x, k: int):
     return run
 
 
-def time_op(f, x, iters: int = 20, reps: int = 3) -> float:
-    """Median per-application seconds of ``f`` (shape-preserving) on device."""
+def time_op(f, x, iters: int = 20, reps: int = 3, consts=()) -> float:
+    """Median per-application seconds of ``f`` (shape-preserving) on device.
+
+    Large side inputs must go in ``consts`` (threaded as jit arguments), not a
+    Python closure: closed-over arrays become HLO constants and the tunnel's
+    remote_compile endpoint rejects program bodies over its size limit (413).
+    """
     run_k = _chain(f, x, iters)
     run_0 = _chain(f, x, 0)
-    float(run_k(x))  # compile
-    float(run_0(x))
+    float(run_k(x, *consts))  # compile
+    float(run_0(x, *consts))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run_k(x))
+        float(run_k(x, *consts))
         t1 = time.perf_counter()
-        float(run_0(x))
+        float(run_0(x, *consts))
         t2 = time.perf_counter()
         ts.append(((t1 - t0) - (t2 - t1)) / iters)
     return float(np.median(ts))
