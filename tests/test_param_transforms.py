@@ -1,6 +1,7 @@
 """Tests for kaiming re-init, functional weight norm, and noise_like."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,6 +51,7 @@ def test_wn_split_structure():
     assert vg["final_conv"]["bias"].ndim == 1
 
 
+@pytest.mark.slow
 def test_kaiming_init_statistics():
     _, _, params = _tiny_params()
     new = kaiming_init(jax.random.PRNGKey(1), params["denoise_fn"])
@@ -74,6 +76,7 @@ def test_weight_init_hparam_flows_through_factory():
     assert np.all(b == 0)
 
 
+@pytest.mark.slow
 def test_use_wn_training_step():
     from dgm_img_super_resolution_tpu.train.tasks.srdiff import SRDiffTask
 

@@ -174,6 +174,7 @@ def test_upscale_batch_device_uint8_matches_float_path(rng):
     assert np.abs(u.astype(np.int16) - want.astype(np.int16)).max() <= 1
 
 
+@pytest.mark.slow
 def test_segmented_progress_matches_single_scan(rng):
     """The segmented progress path (the reference's sample_tqdm surface,
     model.py:1076-1078) must reproduce the single-scan result: per-step noise
