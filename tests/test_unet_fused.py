@@ -66,3 +66,23 @@ def test_fused_unet_grad(rng, monkeypatch):
         g_fused,
         g_ref,
     )
+
+
+def test_chain_eligible_gate(monkeypatch):
+    """Default-ON on TPU for validated shapes; DGMSR_PALLAS_FUSED=0 opts out;
+    non-lane-aligned / non-C=64 shapes fall back to the XLA composition."""
+    monkeypatch.setattr(layers.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("DGMSR_PALLAS_FUSED", raising=False)
+    assert layers.chain_eligible(512, 512, 64)   # down stage 0
+    assert layers.chain_eligible(256, 256, 64)   # last up stage
+    assert not layers.chain_eligible(512, 500, 64)   # width not lane-aligned
+    assert not layers.chain_eligible(30, 512, 64)    # h not block-aligned
+    assert not layers.chain_eligible(512, 512, 128)  # only the C=64 region
+    monkeypatch.setenv("DGMSR_PALLAS_FUSED", "0")
+    assert not layers.chain_eligible(512, 512, 64)
+    monkeypatch.setenv("DGMSR_PALLAS_FUSED", "false")
+    assert not layers.chain_eligible(512, 512, 64)
+    # non-TPU backends never take the kernel path (CHAIN_INTERPRET aside)
+    monkeypatch.delenv("DGMSR_PALLAS_FUSED", raising=False)
+    monkeypatch.setattr(layers.jax, "default_backend", lambda: "cpu")
+    assert not layers.chain_eligible(512, 512, 64)
