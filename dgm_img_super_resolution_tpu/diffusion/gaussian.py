@@ -82,12 +82,16 @@ class GaussianDiffusion:
             cond_projected=cond_projected,
         )
 
-    def _project_cond(self, params, cond):
+    def _project_cond(self, params, cond, img_lr_up=None):
         """Hoist the UNet's condition projection out of the sampling scan —
         it depends on neither x nor t, so computing it per step (as the
-        reference does implicitly, model.py:825) wastes T-1 transposed convs."""
+        reference does implicitly, model.py:825) wastes T-1 transposed convs.
+        When ``img_lr_up`` is given, the scan-invariant up-projection conv is
+        folded into the returned tensor too (the sum is added at the same
+        point in the UNet, so this is pure reassociation)."""
         return self.denoise_fn.apply(
-            {"params": params["denoise_fn"]}, None, None, cond, None, project_only=True
+            {"params": params["denoise_fn"]}, None, None, cond, img_lr_up,
+            project_only=True,
         )
 
     def _apply_encode(self, params, x, t, cond, img_lr_up):
@@ -239,7 +243,7 @@ class GaussianDiffusion:
         b = shape[0]
         with jax.named_scope("rrdb_cond"):
             rrdb_out, cond = self.rrdb_cond(params, img_lr, img_lr_up)
-            cond = self._project_cond(params, cond)
+            cond = self._project_cond(params, cond, img_lr_up)
         rng_init, rng_steps = jax.random.split(rng)
         if self.res:
             x = jax.random.normal(rng_init, shape, jnp.float32)
@@ -406,7 +410,7 @@ class GaussianDiffusion:
         b = x1.shape[0]
         t = self.num_timesteps - 1 if t is None else int(t)
         _, cond = self.rrdb_cond(params, img_lr, img_lr_up)
-        cond = self._project_cond(params, cond)
+        cond = self._project_cond(params, cond, img_lr_up)
         x1 = self.img2res(x1, img_lr_up)
         x2 = self.img2res(x2, img_lr_up)
         tb = jnp.full((b,), t, jnp.int32)

@@ -89,6 +89,19 @@ class Unet(nn.Module):
                     dtype=self.dtype, name="cond_proj",
                 )(cond)
             if project_only:
+                # Fold the up-projection of img_lr_up in as well when given:
+                # like cond_proj it depends on neither x nor t (img_lr_up is
+                # scan-invariant), and the two are added at the same point
+                # (after down stage 0), so hoisting their SUM removes a
+                # lane-starved 3→dim conv at full resolution from every
+                # sampler step (~3.5 ms/step measured at 512²/B=8 — the
+                # worst-MFU op in the UNet). Callers that hoist with
+                # img_lr_up must then pass cond_projected=True per step.
+                if self.res and self.up_input and img_lr_up is not None:
+                    cond_proj = cond_proj + nn.Conv(
+                        self.dim, (3, 3), padding="VALID", dtype=self.dtype,
+                        name="up_proj",
+                    )(reflect_pad(img_lr_up, 1))
                 return cond_proj
 
         t = sinusoidal_pos_emb(time, self.dim).astype(self.dtype)
@@ -140,7 +153,9 @@ class Unet(nn.Module):
                     x = rb2(x, t)
                     if i == 0:
                         x = x + cond_proj
-                if i == 0 and self.res and self.up_input:
+                # cond_projected=True means up_proj is folded into cond by
+                # the project_only hoist above — do not add it again.
+                if i == 0 and self.res and self.up_input and not cond_projected:
                     up_proj = nn.Conv(
                         self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
                     )(reflect_pad(img_lr_up, 1))

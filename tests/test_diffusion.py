@@ -211,7 +211,7 @@ def test_unet_encode_decode_composition_is_exact(tiny_diffusion):
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3))
     t = jnp.array([3, 5], jnp.int32)
     _, cond = d.rrdb_cond(params, lr, lr_up)
-    cond = d._project_cond(params, cond)
+    cond = d._project_cond(params, cond, lr_up)
     full = d._apply_denoise(params, x, t, cond, lr_up, True)
     enc = d._apply_encode(params, x, t, cond, lr_up)
     split = d._apply_decode(params, enc, t)
@@ -272,3 +272,20 @@ def test_sampler_golden_regression():
     )
     golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "sampler_tiny.npz"))
     np.testing.assert_allclose(np.asarray(img), golden["img"], atol=2e-4)
+
+
+def test_hoisted_cond_fold_matches_per_step_path(tiny_diffusion):
+    """The sampler's hoist (cond projection + up_proj folded into one
+    scan-invariant tensor, added after down stage 0) must equal the
+    training-path formulation that computes up_proj inside the forward —
+    pure reassociation of one add."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 16, 3)) * 2 - 1
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3))
+    t = jnp.array([3, 5], jnp.int32)
+    _, cond = d.rrdb_cond(params, lr, lr_up)
+    want = d._apply_denoise(params, x, t, cond, lr_up, False)
+    folded = d._project_cond(params, cond, lr_up)
+    got = d._apply_denoise(params, x, t, folded, lr_up, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

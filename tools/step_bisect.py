@@ -27,7 +27,7 @@ timeit("full sampler T=10", full, params, x_lr, up, jax.random.PRNGKey(0))
 # variant: no per-step randomness (noise=0), rest identical
 def p_mean_only_scan(params, img_lr, img_lr_up, r):
     rrdb_out, cond = diff.rrdb_cond(params, img_lr, img_lr_up)
-    cond = diff._project_cond(params, cond)
+    cond = diff._project_cond(params, cond, img_lr_up)
     x = jax.random.normal(r, img_lr_up.shape, jnp.float32)
     def step(x, ti):
         t = jnp.full((B,), ti, jnp.int32)
@@ -41,7 +41,7 @@ timeit("no-noise scan  T=10", jax.jit(p_mean_only_scan), params, x_lr, up, jax.r
 # variant: unet only in scan (bf16 carry)
 def unet_only(params, img_lr, img_lr_up, r):
     rrdb_out, cond = diff.rrdb_cond(params, img_lr, img_lr_up)
-    cond = diff._project_cond(params, cond)
+    cond = diff._project_cond(params, cond, img_lr_up)
     x = jax.random.normal(r, img_lr_up.shape, jnp.bfloat16)
     def step(x, ti):
         t = jnp.full((B,), ti, jnp.int32)
