@@ -98,13 +98,22 @@ class StableDiffusionUpscalePipeline:
         return {"unet": unet_params, "vae": vae_params, "text_encoder": text_params}
 
     # ------------------------------------------------------------- internals
-    def encode_prompt(self, params, prompts: list[str], negative: list[str] | None = None):
-        tokens = jnp.asarray(self.tokenizer(prompts))
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_tokens(self, params, tokens, neg_tokens):
+        # One compiled program for both branches of the CFG text conditioning.
+        # This MUST be jitted: eager per-op dispatch of the 12-layer encoder
+        # over the tunneled device link measured 4.75 s vs 0.45 s for the
+        # entire 20-step CFG UNet scan (tools/sd_decomp.py) — the unjitted
+        # version dominated the pipeline's end-to-end latency ~9:1.
         cond = self.text_encoder.apply({"params": params["text_encoder"]}, tokens)
-        neg = negative if negative is not None else [""] * len(prompts)
-        neg_tokens = jnp.asarray(self.tokenizer(neg))
         uncond = self.text_encoder.apply({"params": params["text_encoder"]}, neg_tokens)
         return cond, uncond
+
+    def encode_prompt(self, params, prompts: list[str], negative: list[str] | None = None):
+        tokens = jnp.asarray(self.tokenizer(prompts))
+        neg = negative if negative is not None else [""] * len(prompts)
+        neg_tokens = jnp.asarray(self.tokenizer(neg))
+        return self._encode_tokens(params, tokens, neg_tokens)
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def _prepare(self, params, image, rng, noise_level: int, n: int):
