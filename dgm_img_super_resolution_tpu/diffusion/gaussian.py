@@ -77,9 +77,13 @@ class GaussianDiffusion:
 
     # ---------------------------------------------------------------- params
     def _apply_denoise(self, params, x, t, cond, img_lr_up, cond_projected=False):
+        # cond_projected=True here always comes from a _project_cond hoist
+        # that was given img_lr_up (sample_prepare/interpolate), so the
+        # up-projection term is folded into cond — acknowledge explicitly
+        # (the UNet errors on ambiguous combinations instead of dropping it).
         return self.denoise_fn.apply(
             {"params": params["denoise_fn"]}, x, t, cond, img_lr_up,
-            cond_projected=cond_projected,
+            cond_projected=cond_projected, up_folded=cond_projected,
         )
 
     def _project_cond(self, params, cond, img_lr_up=None):
@@ -98,7 +102,7 @@ class GaussianDiffusion:
         """UNet down path only → (skips, bottleneck). cond must be projected."""
         return self.denoise_fn.apply(
             {"params": params["denoise_fn"]}, x, t, cond, img_lr_up,
-            cond_projected=True, mode="encode",
+            cond_projected=True, up_folded=True, mode="encode",
         )
 
     def _apply_decode(self, params, enc, t):

@@ -153,12 +153,25 @@ class SRDiffPipeline:
             progress_cb(done, total)
         return finish(self.params, x, img_lr_up)
 
-    def _hr_pixel_budget(self) -> int:
-        """Per-device-call HR-pixel budget (batch × H × W at the SR output
-        resolution), scaled by mesh size since the batch shards over chips.
-        0 = unguarded."""
-        per_chip = int(self.hp.get("max_native_hr_pixels", 0) or 0)
-        return per_chip * int(self.mesh.devices.size) if per_chip else 0
+    def _per_chip_budget(self) -> int:
+        """Per-CHIP HR-pixel budget (H × W at the SR output resolution times
+        the images resident on one chip). 0 = unguarded. Mesh scaling is
+        applied at the dispatch decision, and only when the batch will
+        actually shard — a batch that ``shard_batch`` would replicate (not
+        divisible by the dp size) puts the WHOLE batch on every chip, so it
+        must be budgeted per-chip, not per-mesh (ADVICE r2 medium)."""
+        return int(self.hp.get("max_native_hr_pixels", 0) or 0)
+
+    def _padded_hr_pixels(self, h: int, w: int) -> int:
+        """HR pixels of one image as the device call will actually run it:
+        the base path reflect-pads LR up to 2^stages divisibility first, so
+        budgeting on the raw dims undercounts by a few % at small sizes
+        (ADVICE r2 #4)."""
+        scale = self.hp["sr_scale"]
+        div = 2 ** (len(self.hp.unet_dim_mults_tuple) - 1)
+        ph = next(p for p in range(div + 1) if (h + p) * scale % div == 0)
+        pw = next(p for p in range(div + 1) if (w + p) * scale % div == 0)
+        return (h + ph) * (w + pw) * scale * scale
 
     def upscale_batch_device(
         self, imgs, rng: jax.Array | None = None, as_uint8: bool = False,
@@ -172,22 +185,56 @@ class SRDiffPipeline:
         ``progress_cb(done, total)`` fires every ``callback_steps`` sampler
         steps (between device calls).
 
-        Batches whose total HR output exceeds the ``max_native_hr_pixels``
-        budget are dispatched in equal-shaped sub-batches (last one padded by
-        repetition, sliced after) so HBM use is bounded regardless of request
-        size — the serving-robustness piece the reference lacks (its app only
-        survives because it resizes every input to 256², st_app1.py:1583-1591).
+        Batches whose HR output exceeds the per-chip ``max_native_hr_pixels``
+        budget are dispatched in equal-shaped sub-batches (sized a multiple of
+        the dp size so every device call SHARDS — the last one padded by
+        repetition, sliced after) so per-chip HBM use is bounded regardless of
+        request size — the serving-robustness piece the reference lacks (its
+        app only survives because it resizes every input to 256²,
+        st_app1.py:1583-1591). Images that exceed the budget *individually*
+        route through the feather-tiled path per image, so the bound holds for
+        batches of huge images too (ADVICE r2 #2). Note: chunked dispatch
+        re-keys noise via ``fold_in(rng, chunk)``, so the same request can
+        yield different (equally valid) samples under a different
+        ``max_native_hr_pixels`` setting.
         """
         imgs = np.asarray(imgs)
-        budget = self._hr_pixel_budget()
+        per_chip = self._per_chip_budget()
         scale_ = self.hp["sr_scale"]
-        per_img = int(imgs.shape[1]) * int(imgs.shape[2]) * scale_ * scale_
+        h0, w0 = int(imgs.shape[1]), int(imgs.shape[2])
+        per_img = self._padded_hr_pixels(h0, w0)
         n = int(imgs.shape[0])
-        if budget and n > 1 and n * per_img > budget:
-            sub = max(1, budget // per_img)
-            ndev = int(self.mesh.devices.size)
-            if sub >= ndev:
-                sub = (sub // ndev) * ndev  # keep sub-batches shardable
+        ndev = int(self.mesh.devices.size)
+        patch = int(self.hp.get("infer_patch_size", 128))
+        if per_chip and per_img > per_chip and max(h0, w0) > patch:
+            # a single image alone exceeds one chip's budget: tile each image
+            # (feather-blended) instead of dispatching an over-budget call
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            overlap = int(self.hp.get("infer_patch_overlap", 16))
+            outs = []
+            for i in range(n):
+                cb = None
+                if progress_cb is not None:
+                    def cb(done, total, _i=i, _n=n):
+                        progress_cb(_i * total + done, _n * total)
+                sr = self.upscale_large(
+                    imgs[i], patch=patch, overlap=overlap,
+                    rng=jax.random.fold_in(rng, i),
+                    progress_cb=cb, callback_steps=callback_steps,
+                )
+                if as_uint8:
+                    sr = np.round(sr * 255.0).astype(np.uint8)
+                outs.append(sr)
+            return jnp.asarray(np.stack(outs, axis=0))
+        will_shard = n % ndev == 0  # shard_batch's replication rule
+        eff_budget = per_chip * (ndev if will_shard else 1)
+        if per_chip and n > 1 and n * per_img > eff_budget:
+            # largest per-call batch within budget that still shards: a
+            # multiple of ndev holds sub/ndev images per chip (chunk padding
+            # below keeps even the short tail at the compiled, shardable size)
+            sub = max((per_chip * ndev // per_img) // ndev * ndev, ndev)
+            if ndev == 1:
+                sub = max(1, per_chip // per_img)
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             n_chunks = -(-n // sub)
             outs = []
@@ -259,11 +306,12 @@ class SRDiffPipeline:
         arbitrarily large inputs work out of the box instead of exhausting
         HBM."""
         img = np.asarray(image)
-        budget = self._hr_pixel_budget()
-        scale_ = self.hp["sr_scale"]
+        # a single image replicates over the mesh (shard_batch), so it must
+        # fit ONE chip's budget, not the mesh-scaled one (ADVICE r2 medium)
+        budget = self._per_chip_budget()
         h, w = int(img.shape[0]), int(img.shape[1])
         patch = int(self.hp.get("infer_patch_size", 128))
-        if budget and h * w * scale_ * scale_ > budget and max(h, w) > patch:
+        if budget and self._padded_hr_pixels(h, w) > budget and max(h, w) > patch:
             logger.info(
                 "upscale: %dx%d native SR exceeds the HR-pixel budget — "
                 "using tiled SR (patch=%d, overlap=%d)",

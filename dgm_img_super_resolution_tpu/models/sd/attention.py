@@ -76,7 +76,10 @@ class FeedForward(nn.Module):
         dim = x.shape[-1]
         h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, name="proj_in")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.gelu(gate)
+        # exact (erf) GELU: diffusers GEGLU calls F.gelu, whose torch default
+        # is the erf form — jax.nn.gelu defaults to the tanh approximation
+        # (~1e-3 apart), which the torch twins flagged
+        h = a * jax.nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 

@@ -17,17 +17,41 @@ in tests.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dgm_img_super_resolution_tpu.models.layers import sinusoidal_pos_emb
 from dgm_img_super_resolution_tpu.models.sd.attention import Transformer2D
 from dgm_img_super_resolution_tpu.ops.resize import nearest_upsample
 from dgm_img_super_resolution_tpu.models.layers import gn_groups as _gn
 
 Dtype = Any
+
+# diffusers UNet GroupNorms use norm_eps=1e-5 (UNet2DConditionModel config
+# default); flax's GroupNorm default is 1e-6 — pinned by the torch twins
+# (tests/test_sd_torch_parity.py)
+_NORM_EPS = 1e-5
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal timestep embedding in the *diffusers* convention
+    (``get_timestep_embedding`` with ``flip_sin_to_cos=True``,
+    ``downscale_freq_shift=0``, as ``UNet2DConditionModel`` configures its
+    ``Timesteps`` projection): frequencies ``exp(-ln(1e4)·i/half)`` and
+    [cos, sin] ordering.
+
+    NOT the SRDiff convention (``log(1e4)/(half-1)`` spacing, [sin, cos] —
+    ``layers.sinusoidal_pos_emb``): using that here produced activations that
+    matched nothing the published checkpoint was trained with — the exact
+    class of silent bug the round-3 torch twins exist to catch."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
 class SDResBlock(nn.Module):
@@ -36,12 +60,14 @@ class SDResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=_gn(x.shape[-1]), dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=_gn(x.shape[-1]), epsilon=_NORM_EPS,
+                         dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]), dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]), epsilon=_NORM_EPS,
+                         dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -121,7 +147,7 @@ class UNet2DCondition(nn.Module):
         chs = list(self.block_out_channels)
         tdim = chs[0] * 4
 
-        temb = sinusoidal_pos_emb(timesteps, chs[0]).astype(self.dtype)
+        temb = timestep_embedding(timesteps, chs[0]).astype(self.dtype)
         temb = nn.Dense(tdim, dtype=self.dtype, name="time_embed_0")(temb)
         temb = nn.Dense(tdim, dtype=self.dtype, name="time_embed_1")(nn.silu(temb))
         if class_labels is not None:
@@ -130,8 +156,10 @@ class UNet2DCondition(nn.Module):
                     self.num_class_embeds, tdim, dtype=self.dtype, name="class_embedding"
                 )(class_labels)
             else:
-                # timestep-style class conditioning (sinusoidal + MLP)
-                cemb = sinusoidal_pos_emb(class_labels, chs[0]).astype(self.dtype)
+                # timestep-style class conditioning (sinusoidal + MLP; the
+                # diffusers class_embed_type="timestep" path reuses the same
+                # Timesteps projection as the main time embedding)
+                cemb = timestep_embedding(class_labels, chs[0]).astype(self.dtype)
                 cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_0")(cemb)
                 cemb = nn.Dense(tdim, dtype=self.dtype, name="class_embed_1")(nn.silu(cemb))
             temb = temb + cemb
@@ -184,6 +212,7 @@ class UNet2DCondition(nn.Module):
                 h = nearest_upsample(h, 2)
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]), dtype=self.dtype, name="norm_out")(h)
+        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]), epsilon=_NORM_EPS,
+                         dtype=self.dtype, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv_out")(h)

@@ -58,13 +58,18 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond, img_lr_up=None, *, cond_projected=False,
-                 project_only=False, mode="full", enc_feats=None):
+                 up_folded=False, project_only=False, mode="full", enc_feats=None):
         """x: (N,H,W,3) noisy residual; time: (N,); cond: (N,H/s,W/s,C_cond)
         channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3).
 
         ``project_only=True`` returns just the HR-projected condition so the
         sampler can hoist the projection out of the T-step scan (it depends
         on neither x nor t); pass that result back with ``cond_projected=True``.
+        When the hoist was given ``img_lr_up`` it also folds the up-projection
+        term into the result — per-step callers must then acknowledge with
+        ``up_folded=True``; a hoist *without* ``img_lr_up`` keeps the per-step
+        ``up_proj`` add alive (pre-hoist behaviour), so no combination
+        silently drops the term (ADVICE r2 #3).
 
         ``mode`` splits the forward at the bottleneck for encoder
         propagation (training-free sampler acceleration: the down path is
@@ -153,9 +158,17 @@ class Unet(nn.Module):
                     x = rb2(x, t)
                     if i == 0:
                         x = x + cond_proj
-                # cond_projected=True means up_proj is folded into cond by
-                # the project_only hoist above — do not add it again.
-                if i == 0 and self.res and self.up_input and not cond_projected:
+                # up_folded=True means up_proj is folded into cond by the
+                # project_only hoist above — do not add it again. A caller
+                # that hoisted WITHOUT img_lr_up still gets the per-step add
+                # here; passing neither is a loud error, never a silent drop.
+                if i == 0 and self.res and self.up_input and not up_folded:
+                    if img_lr_up is None:
+                        raise ValueError(
+                            "Unet: res+up_input needs img_lr_up per step, or a "
+                            "project_only hoist that folded it (then pass "
+                            "up_folded=True)"
+                        )
                     up_proj = nn.Conv(
                         self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="up_proj"
                     )(reflect_pad(img_lr_up, 1))

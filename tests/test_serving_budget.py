@@ -99,6 +99,73 @@ def test_small_image_stays_native(monkeypatch):
     assert sr.shape == (32, 32, 3)
 
 
+def test_replicating_batch_budgets_per_chip(monkeypatch):
+    """A batch that shard_batch would REPLICATE (n % dp != 0) must be budgeted
+    against one chip's limit, then padded up to a shardable size — the ADVICE
+    r2 medium finding: the old mesh-scaled budget let a replicated dispatch
+    put ~ndev× the per-chip budget on every chip."""
+    hp = TINY.replace(max_native_hr_pixels=32 * 32)  # one 32² image per chip
+    mesh = make_mesh("dp=4", devices=jax.devices()[:4])
+    pipe = SRDiffPipeline(hp, mesh=mesh, rng=jax.random.PRNGKey(0))
+    calls = []
+    orig = SRDiffPipeline.upscale_batch_device
+
+    def spy(self, imgs, *a, **k):
+        calls.append(int(np.asarray(imgs).shape[0]))
+        return orig(self, imgs, *a, **k)
+
+    monkeypatch.setattr(SRDiffPipeline, "upscale_batch_device", spy)
+    lr = np.random.default_rng(5).uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+    out = pipe.upscale_batch(lr)
+    assert out.shape == (2, 32, 32, 3)
+    # n=2 on dp=4 would replicate (2 imgs/chip = 2× budget); the guard pads to
+    # one sharded call of 4 (1 img/chip = exactly the budget)
+    assert calls == [2, 4]
+
+
+def test_oversized_images_in_batch_route_tiled(monkeypatch):
+    """A batch of images each individually over the per-chip budget must not
+    dispatch over-budget chunks of 1 — each image routes through the tiled
+    path (ADVICE r2 #2)."""
+    pipe = _pipe(
+        max_native_hr_pixels=4 * 32 * 32,  # 4096 px < one 64×96 output (6144)
+        infer_patch_size=8,
+        infer_patch_overlap=2,
+    )
+    tiled = []
+    orig = SRDiffPipeline.upscale_large
+
+    def spy(self, image, *a, **k):
+        tiled.append(np.asarray(image).shape)
+        return orig(self, image, *a, **k)
+
+    monkeypatch.setattr(SRDiffPipeline, "upscale_large", spy)
+    lr = np.random.default_rng(6).uniform(-1, 1, (2, 16, 24, 3)).astype(np.float32)
+    out = pipe.upscale_batch(lr)
+    assert out.shape == (2, 64, 96, 3)
+    assert np.isfinite(out).all()
+    assert tiled == [(16, 24, 3), (16, 24, 3)]
+
+
+def test_budget_counts_padded_dims(monkeypatch):
+    """per-image pixels are budgeted at the PADDED size the device call runs
+    (7×7 LR reflect-pads to 8×8 → 1024 HR px, not 784 — ADVICE r2 #4)."""
+    pipe = _pipe(max_native_hr_pixels=1800)
+    calls = []
+    orig = SRDiffPipeline.upscale_batch_device
+
+    def spy(self, imgs, *a, **k):
+        calls.append(int(np.asarray(imgs).shape[0]))
+        return orig(self, imgs, *a, **k)
+
+    monkeypatch.setattr(SRDiffPipeline, "upscale_batch_device", spy)
+    lr = np.random.default_rng(7).uniform(-1, 1, (2, 7, 7, 3)).astype(np.float32)
+    out = pipe.upscale_batch(lr)
+    assert out.shape == (2, 28, 28, 3)
+    # raw dims (2×784=1568) would fit 1800; padded (2×1024=2048) must split
+    assert calls == [2, 1, 1]
+
+
 def test_budget_zero_disables_guard(monkeypatch):
     pipe = _pipe(max_native_hr_pixels=0)
     calls = []
