@@ -140,6 +140,7 @@ def cmd_test(args) -> int:
         f for f in os.listdir(input_dir) if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
     agg: dict[str, list] = {}
+    pairs = []
     for name in names:
         hr = np.asarray(Image.open(os.path.join(input_dir, name)).convert("RGB"))
         hr = hr[: hr.shape[0] // scale * scale, : hr.shape[1] // scale * scale]
@@ -151,9 +152,27 @@ def cmd_test(args) -> int:
         res = measure.measure(sr_u8, hr, lr, scale)
         for k, v in res.items():
             agg.setdefault(k, []).append(float(v))
+        if len(pairs) < args.op_point_images:
+            pairs.append((lr, hr))
         print(f"| {name}: " + json.dumps({k: round(float(v), 4) for k, v in res.items()}))
     if agg:
         print(json.dumps({k: round(float(np.mean(v)), 4) for k, v in agg.items()}))
+    if args.check_op_point and pairs:
+        # re-validate the recorded fast-sampler operating point under the
+        # weights actually loaded (critical with an imported real checkpoint:
+        # the recorded point was measured under different weight regimes)
+        from dgm_img_super_resolution_tpu.validation import validate_operating_point
+
+        res = validate_operating_point(hp, pipe.params, pairs)
+        print("| op-point check: " + json.dumps(res))
+        with open(os.path.join(gen_dir, "op_point_check.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        if not res["within_tol"]:
+            print(
+                "| WARNING: operating point drifted beyond tolerance under these "
+                "weights — re-run tools/ddim_operating_point.py to re-record",
+                file=sys.stderr,
+            )
     return 0
 
 
@@ -216,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gen_dir", type=str, default="")
     p.add_argument("--no_png", action="store_true")
     p.add_argument("--patch", type=int, default=0)
+    p.add_argument(
+        "--check-op-point", dest="check_op_point", action="store_true",
+        help="re-validate the recorded DDIM operating point (ancestral chain "
+        "vs fast sampler PSNR) under the loaded weights — run this whenever "
+        "a real checkpoint is imported",
+    )
+    p.add_argument("--op-point-images", dest="op_point_images", type=int, default=2,
+                   help="images used for the op-point check (first N of the dir)")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("interp", help="latent interpolation between two images")

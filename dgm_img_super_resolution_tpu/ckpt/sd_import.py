@@ -222,9 +222,24 @@ def _read_state_dict(component_dir: str) -> dict[str, np.ndarray]:
     raise FileNotFoundError(f"no state dict in {component_dir}")
 
 
+def _read_json(path: str) -> dict | None:
+    import json
+
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    return None
+
+
 def load_sd_x4_pipeline(ckpt_dir: str, dtype=jnp.bfloat16):
     """Build a StableDiffusionUpscalePipeline from a local diffusers checkout
-    (``unet/``, ``vae/``, ``text_encoder/``, ``tokenizer/`` subdirs)."""
+    (``unet/``, ``vae/``, ``text_encoder/``, ``tokenizer/`` subdirs).
+
+    The checkout's own ``scheduler/scheduler_config.json`` and
+    ``low_res_scheduler/scheduler_config.json`` override the vendored
+    defaults when present, so day-one correctness of prediction type and
+    betas does not depend on the vendored copies
+    (``ckpt/sd_inventory.py``)."""
     from dgm_img_super_resolution_tpu.models.sd.clip import SimpleTokenizer
     from dgm_img_super_resolution_tpu.models.sd.pipeline import StableDiffusionUpscalePipeline
 
@@ -243,4 +258,14 @@ def load_sd_x4_pipeline(ckpt_dir: str, dtype=jnp.bfloat16):
         merges_txt=os.path.join(tok_dir, "merges.txt"),
     )
     params = {"unet": unet_tree, "vae": vae_tree, "text_encoder": text_tree}
-    return StableDiffusionUpscalePipeline(params=params, tokenizer=tokenizer, dtype=dtype)
+    return StableDiffusionUpscalePipeline(
+        params=params,
+        tokenizer=tokenizer,
+        dtype=dtype,
+        scheduler_config=_read_json(
+            os.path.join(ckpt_dir, "scheduler", "scheduler_config.json")
+        ),
+        low_res_scheduler_config=_read_json(
+            os.path.join(ckpt_dir, "low_res_scheduler", "scheduler_config.json")
+        ),
+    )

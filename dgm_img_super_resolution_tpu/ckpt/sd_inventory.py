@@ -72,7 +72,8 @@ X4_VAE_CONFIG: dict = {
 }
 
 # text_encoder/config.json — transformers CLIPTextModel (SD2 OpenCLIP-H text
-# tower, penultimate layer ⇒ 23 stored hidden layers)
+# tower, penultimate layer ⇒ 23 stored hidden layers). hidden_act is exact
+# "gelu" in the SD2 family (the SD1 OpenAI ViT-L tower uses "quick_gelu").
 X4_TEXT_CONFIG: dict = {
     "vocab_size": 49408,
     "hidden_size": 1024,
@@ -80,6 +81,36 @@ X4_TEXT_CONFIG: dict = {
     "num_hidden_layers": 23,
     "num_attention_heads": 16,
     "max_position_embeddings": 77,
+    "hidden_act": "gelu",
+    "layer_norm_eps": 1e-5,
+}
+
+# scheduler/scheduler_config.json — DDIMScheduler: the DENOISING schedule.
+# The x4-upscaler is a V-PREDICTION model on the SD-standard latent betas
+# (0.00085→0.012 scaled-linear) — NOT ε-prediction, and NOT the 0.0001→0.02
+# image-space betas used only for LR noise augmentation below. Either mix-up
+# produces garbage under real weights, which no shape test can catch — so
+# `load_sd_x4_pipeline` prefers the checkpoint's own scheduler_config.json
+# when one is on disk, and the file-gated readiness test asserts this
+# vendored copy against it (tests/test_sd_readiness.py).
+X4_SCHEDULER_CONFIG: dict = {
+    "num_train_timesteps": 1000,
+    "beta_start": 0.00085,
+    "beta_end": 0.012,
+    "beta_schedule": "scaled_linear",
+    "prediction_type": "v_prediction",
+    "clip_sample": False,
+    "set_alpha_to_one": False,   # terminal ᾱ_prev = ᾱ_0, not 1
+    "steps_offset": 1,           # "leading" timestep spacing starts at 1
+}
+
+# low_res_scheduler/scheduler_config.json — DDPMScheduler used ONLY to
+# noise-augment the LR conditioning image to the requested noise_level
+X4_LOW_RES_SCHEDULER_CONFIG: dict = {
+    "num_train_timesteps": 1000,
+    "beta_start": 0.0001,
+    "beta_end": 0.02,
+    "beta_schedule": "scaled_linear",
 }
 
 

@@ -96,17 +96,19 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        # torch nn.LayerNorm default eps=1e-5 (diffusers BasicTransformerBlock
+        # uses it); flax defaults to 1e-6 — pinned by the torch twins
         dim = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         ctx1 = context if self.only_cross_attention else None
         x = x + MultiHeadAttention(
             self.heads, self.head_dim, dim, self.use_flash, self.dtype, name="attn1"
         )(h, ctx1)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + MultiHeadAttention(
             self.heads, self.head_dim, dim, self.use_flash, self.dtype, name="attn2"
         )(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForward(dtype=self.dtype, name="ff")(h)
 
 

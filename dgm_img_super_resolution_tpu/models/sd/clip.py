@@ -34,6 +34,23 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+# transformers CLIPTextConfig layer_norm_eps (the published SD2 text_encoder
+# config uses the default 1e-5); flax LayerNorm defaults to 1e-6 — pinned by
+# the torch twins (tests/test_sd_torch_parity.py)
+_LN_EPS = 1e-5
+
+
+def _act(name: str):
+    """hidden_act from the published config: the SD2-family OpenCLIP-H text
+    tower uses exact-erf "gelu" (stabilityai/stable-diffusion-2 text_encoder
+    config); the SD1-family OpenAI ViT-L tower uses "quick_gelu"."""
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "quick_gelu":
+        return quick_gelu
+    raise ValueError(f"unknown CLIP hidden_act {name!r}")
+
+
 class CLIPAttention(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
@@ -55,14 +72,15 @@ class CLIPAttention(nn.Module):
 class CLIPBlock(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
+    hidden_act: str = "gelu"
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="ln1")(x)
         x = x + CLIPAttention(self.heads, self.dtype, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(x.shape[-1] * 4, dtype=self.dtype, name="mlp_fc")(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_proj")(quick_gelu(h))
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_proj")(_act(self.hidden_act)(h))
         return x + h
 
 
@@ -72,6 +90,7 @@ class CLIPTextEncoder(nn.Module):
     width: int = 1024
     layers: int = 23
     heads: int = 16
+    hidden_act: str = "gelu"  # SD2-family published config (exact GELU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,8 +105,8 @@ class CLIPTextEncoder(nn.Module):
         x = tok + pos[None, :l].astype(self.dtype)
         causal = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)[None, None]
         for i in range(self.layers):
-            x = CLIPBlock(self.heads, self.dtype, name=f"block_{i}")(x, causal)
-        return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+            x = CLIPBlock(self.heads, self.dtype, self.hidden_act, name=f"block_{i}")(x, causal)
+        return nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="ln_final")(x)
 
 
 def _basic_clean(text: str) -> str:

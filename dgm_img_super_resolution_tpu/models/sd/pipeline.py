@@ -15,6 +15,17 @@ TPU re-design:
   (``st_app2.py:52-67``) is preserved via ``jax.debug.callback`` (host
   callback fires per scan step without blocking the device).
 
+Scheduler semantics follow the published checkpoint's configs (vendored with
+provenance in ``ckpt/sd_inventory.py``; ``load_sd_x4_pipeline`` prefers the
+on-disk ``scheduler_config.json`` when a real checkout is present): the
+denoiser is a **v-prediction** model on the SD latent betas with diffusers'
+"leading" timestep spacing (``steps_offset=1``, ``set_alpha_to_one=False``),
+while LR noise augmentation uses the separate image-space DDPM betas. The
+sampler family matches the reference app's scheduler choice
+(``st_app2.py:62-67``): DDIM with η (0 = deterministic) or ancestral DDPM
+(implemented as the exact η=1 identity, pinned by
+``tests/test_sd_pipeline.py``).
+
 Weights: random-init by default (no network egress here); a diffusers-format
 importer hook (``ckpt/sd_import.py``) maps published checkpoints when a local
 file is supplied.
@@ -35,6 +46,21 @@ from dgm_img_super_resolution_tpu.models.sd.unet import UNet2DCondition
 from dgm_img_super_resolution_tpu.models.sd.vae import AutoencoderKL
 
 
+def _schedule_from_config(cfg: dict):
+    """diffusers scheduler_config.json → precomputed Schedule arrays.
+    diffusers "scaled_linear" is the reference's "quad" (linear in √β)."""
+    name = {"scaled_linear": "quad", "squaredcos_cap_v2": "cosine"}.get(
+        cfg.get("beta_schedule", "scaled_linear"), cfg.get("beta_schedule")
+    )
+    return make_schedule(
+        timesteps=int(cfg.get("num_train_timesteps", 1000)),
+        beta_schedule=name,
+        beta_start=float(cfg.get("beta_start", 0.0001)),
+        beta_end=float(cfg.get("beta_end", 0.02)),
+        res=False,
+    )
+
+
 class StableDiffusionUpscalePipeline:
     def __init__(
         self,
@@ -43,11 +69,12 @@ class StableDiffusionUpscalePipeline:
         text_encoder: CLIPTextEncoder | None = None,
         tokenizer: SimpleTokenizer | None = None,
         params: dict | None = None,
-        num_train_timesteps: int = 1000,
         max_noise_level: int = 350,
         dtype=jnp.bfloat16,
         rng: jax.Array | None = None,
         tiny: bool = False,
+        scheduler_config: dict | None = None,
+        low_res_scheduler_config: dict | None = None,
     ):
         if tiny:  # test-sized config (compiles in seconds on CPU)
             unet = unet or UNet2DCondition(
@@ -71,14 +98,25 @@ class StableDiffusionUpscalePipeline:
         self.text_encoder = text_encoder or CLIPTextEncoder(dtype=dtype)
         self.tokenizer = tokenizer or SimpleTokenizer()
         self.max_noise_level = max_noise_level
-        # SD training schedule: scaled-linear ("quad") betas over 1000 steps
-        self.schedule = make_schedule(
-            timesteps=num_train_timesteps,
-            beta_schedule="quad",
-            beta_start=0.0001,
-            beta_end=0.02,
-            res=False,
+        from dgm_img_super_resolution_tpu.ckpt.sd_inventory import (
+            X4_LOW_RES_SCHEDULER_CONFIG,
+            X4_SCHEDULER_CONFIG,
         )
+
+        sc = dict(X4_SCHEDULER_CONFIG)
+        sc.update(scheduler_config or {})
+        lrc = dict(X4_LOW_RES_SCHEDULER_CONFIG)
+        lrc.update(low_res_scheduler_config or {})
+        # denoising schedule (v-prediction latent betas, published config)
+        self.schedule = _schedule_from_config(sc)
+        self.prediction_type = sc.get("prediction_type", "epsilon")
+        self.steps_offset = int(sc.get("steps_offset", 0))
+        self.final_alpha_cumprod = (
+            1.0 if sc.get("set_alpha_to_one", True)
+            else float(self.schedule.alphas_cumprod[0])
+        )
+        # separate image-space schedule for LR noise augmentation
+        self.low_res_schedule = _schedule_from_config(lrc)
         self.dtype = dtype
         if params is None:
             params = self.init_params(rng if rng is not None else jax.random.PRNGKey(0))
@@ -117,8 +155,9 @@ class StableDiffusionUpscalePipeline:
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def _prepare(self, params, image, rng, noise_level: int, n: int):
-        """Noise-augment the LR image and draw the initial latents."""
-        s = self.schedule
+        """Noise-augment the LR image (the low-res DDPM schedule — distinct
+        from the denoising betas) and draw the initial latents."""
+        s = self.low_res_schedule
         h, w = image.shape[1:3]
         rng_lat, rng_aug = jax.random.split(rng)
         aug_noise = jax.random.normal(rng_aug, image.shape, jnp.float32)
@@ -129,24 +168,32 @@ class StableDiffusionUpscalePipeline:
         x = jax.random.normal(rng_lat, (n, h, w, self.vae.latent_channels), jnp.float32)
         return x, img_aug
 
-    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 11))
     def _denoise_segment(
         self,
         params,
         x,              # (N, h, w, latent_ch) current latents
         img_aug,        # (N, h, w, 3) noise-augmented LR conditioning
         ts,             # (S,) timestep indices for this segment (descending)
-        ts_prev,        # (S,) next timestep per step (-1 terminates)
+        ts_prev,        # (S,) predecessor timestep per step (<0 terminates)
         text_states,    # (cond, uncond) each (N, L, D)
         guidance_scale: float,
         noise_level: int,
         enc_interval: int = 1,
+        rng: jax.Array | None = None,
+        eta: float = 0.0,
     ):
         """One jitted ``lax.scan`` over a segment of DDIM steps. The full run
         is a single segment; with a progress callback the host splits the
         schedule into equal segments and fires the callback between device
         calls (the axon TPU backend has no host-callback support, so the
         reference's per-step callback surface maps to per-segment syncs).
+
+        ``eta`` > 0 adds the DDIM stochastic term (σ per Song et al. eq. 16;
+        η=1 over the respaced schedule ≡ the ancestral DDPM chain — the same
+        identity the SRDiff side pins). Per-step noise is keyed
+        ``fold_in(rng, t)``, so any segmentation reproduces the one-scan
+        result exactly.
 
         ``enc_interval`` > 1 enables encoder propagation (arXiv 2312.09608):
         the UNet down path runs every K-th step only, its skips reused for
@@ -199,12 +246,36 @@ class StableDiffusionUpscalePipeline:
                 {"params": params["unet"]}, inp, t, cond.astype(self.dtype), nl
             ).astype(jnp.float32)
 
-        def update(x, ti, tp, eps):
+        def update(x, ti, tp, model_out):
+            """One DDIM x_t → x_prev step from the raw model output, under the
+            configured prediction type (the x4-upscaler predicts v, not ε)."""
             a_t = acp[ti]
-            a_prev = jnp.where(tp >= 0, acp[jnp.maximum(tp, 0)], 1.0)
-            x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-            eps_dir = jnp.sqrt(jnp.maximum(1.0 - a_prev, 0.0)) * eps
-            return jnp.sqrt(a_prev) * x0 + eps_dir  # DDIM η=0
+            a_prev = jnp.where(
+                tp >= 0, acp[jnp.maximum(tp, 0)], self.final_alpha_cumprod
+            )
+            sq_a, sq_1ma = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+            if self.prediction_type == "v_prediction":
+                x0 = sq_a * x - sq_1ma * model_out
+                eps = sq_a * model_out + sq_1ma * x
+            elif self.prediction_type == "epsilon":
+                eps = model_out
+                x0 = (x - sq_1ma * eps) / sq_a
+            else:
+                raise NotImplementedError(self.prediction_type)
+            # no x0 clipping: clip_sample=False in the published config
+            if eta:
+                sigma = (
+                    eta
+                    * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+                    * jnp.sqrt(1.0 - a_t / a_prev)
+                )
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, ti), x.shape, jnp.float32
+                )
+            else:
+                sigma, noise = 0.0, 0.0
+            eps_dir = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+            return jnp.sqrt(a_prev) * x0 + eps_dir + sigma * noise
 
         K = int(enc_interval)
         if K > 1:
@@ -250,13 +321,21 @@ class StableDiffusionUpscalePipeline:
         callback: Callable | None = None,
         callback_steps: int = 1,
         enc_interval: int = 1,
+        eta: float = 0.0,
+        sampler: str = "ddim",
     ) -> np.ndarray:
         """LR image(s) (HWC/NHWC uint8 or [-1,1] float) → ×4 SR images,
         NHWC float [0,1]. The callback fires per step like the reference's
         ``pipeline(..., callback=progress_callback, callback_steps=1)``
         (``st_app2.py:62-67``). ``enc_interval`` > 1 enables encoder
         propagation (no-callback path; a non-divisible remainder at the
-        low-t end runs exactly, per-step)."""
+        low-t end runs exactly, per-step).
+
+        ``sampler``/``eta`` mirror the diffusers scheduler choice the
+        reference app exposes (``st_app2.py:62-67``): ``"ddim"`` with η
+        (0 = deterministic), or ``"ddpm"`` — the ancestral chain, which on a
+        respaced schedule is exactly DDIM η=1 (identity pinned in
+        ``tests/test_sd_pipeline.py``, like the SRDiff side)."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         img = np.asarray(image)
         if img.ndim == 3:
@@ -273,14 +352,28 @@ class StableDiffusionUpscalePipeline:
         )
         text_states = self.encode_prompt(self.params, prompts, negatives)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng_prep, rng_steps = jax.random.split(rng)
 
+        if sampler == "ddpm":
+            # respaced ancestral chain ≡ DDIM η=1 (σ² is exactly the respaced
+            # posterior variance — same identity the SRDiff sampler pins)
+            eta = 1.0
+        elif sampler != "ddim":
+            raise ValueError(f"unknown sampler {sampler!r}")
+        eta = float(eta)
+
+        # diffusers "leading" spacing with the published steps_offset: for
+        # T=1000, 20 steps → 951, 901, …, 1; predecessor = t - T//steps
         T = self.schedule.num_timesteps
         steps = int(num_inference_steps)
-        ts = np.round(np.linspace(0, T - 1, steps)).astype(np.int32)[::-1]
-        ts_prev = np.concatenate([ts[1:], [-1]]).astype(np.int32)
+        ratio = T // steps
+        if ratio < 1:
+            raise ValueError(f"num_inference_steps {steps} > trained T {T}")
+        ts = ((np.arange(steps) * ratio)[::-1] + self.steps_offset).astype(np.int32)
+        ts_prev = ts - np.int32(ratio)
 
         x, img_aug = self._prepare(
-            self.params, jnp.asarray(img, jnp.float32), rng, int(noise_level), n
+            self.params, jnp.asarray(img, jnp.float32), rng_prep, int(noise_level), n
         )
         gs = float(guidance_scale)
         if callback is None:
@@ -290,18 +383,20 @@ class StableDiffusionUpscalePipeline:
                 x = self._denoise_segment(
                     self.params, x, img_aug,
                     jnp.asarray(ts[:n_div]), jnp.asarray(ts_prev[:n_div]),
-                    text_states, gs, int(noise_level), K,
+                    text_states, gs, int(noise_level), K, rng_steps, eta,
                 )
             if n_div < len(ts) or K == 1:
                 x = self._denoise_segment(
                     self.params, x, img_aug,
                     jnp.asarray(ts[n_div:] if K > 1 else ts),
                     jnp.asarray(ts_prev[n_div:] if K > 1 else ts_prev),
-                    text_states, gs, int(noise_level),
+                    text_states, gs, int(noise_level), 1, rng_steps, eta,
                 )
         else:
             # progress surface (reference st_app2.py:52-67): equal segments of
-            # `callback_steps`, callback fired between device calls
+            # `callback_steps`, callback fired between device calls. Per-step
+            # noise keys are fold_in(rng, t), so segmentation is
+            # result-invariant even at η>0.
             seg = max(1, int(callback_steps))
             done = 0
             while done < steps:
@@ -310,7 +405,7 @@ class StableDiffusionUpscalePipeline:
                     self.params, x, img_aug,
                     jnp.asarray(ts[done : done + take]),
                     jnp.asarray(ts_prev[done : done + take]),
-                    text_states, gs, int(noise_level),
+                    text_states, gs, int(noise_level), 1, rng_steps, eta,
                 )
                 done += take
                 callback(done - 1, int(ts[done - 1]), x)

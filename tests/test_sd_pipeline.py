@@ -141,6 +141,50 @@ def test_sd_pipeline_batched_and_deterministic(tiny_pipe):
     assert np.abs(a - c).max() > 1e-6
 
 
+def test_sd_sampler_family_eta_ddpm(tiny_pipe):
+    """The SD pipeline exposes the reference app's scheduler choice
+    (st_app2.py:62-67): DDPM ≡ DDIM η=1 exactly (the respaced-ancestral
+    identity, mirrored from the SRDiff side), η>0 is deterministic under a
+    fixed rng, and segmentation (the progress path) is result-invariant even
+    with the stochastic term."""
+    img = np.random.default_rng(7).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(11)
+    ddpm = tiny_pipe("a cat", img, num_inference_steps=4, rng=key, sampler="ddpm")
+    eta1 = tiny_pipe("a cat", img, num_inference_steps=4, rng=key, eta=1.0)
+    np.testing.assert_allclose(ddpm, eta1, atol=0)
+
+    e7a = tiny_pipe("a cat", img, num_inference_steps=4, rng=key, eta=0.7)
+    e7b = tiny_pipe("a cat", img, num_inference_steps=4, rng=key, eta=0.7)
+    np.testing.assert_allclose(e7a, e7b, atol=0)
+    e0 = tiny_pipe("a cat", img, num_inference_steps=4, rng=key)
+    assert np.abs(e7a - e0).max() > 1e-6
+
+    seen = []
+    seg = tiny_pipe("a cat", img, num_inference_steps=4, rng=key, eta=1.0,
+                    callback=lambda i, t, latents: seen.append(i), callback_steps=1)
+    np.testing.assert_allclose(seg, eta1, atol=0)
+    assert len(seen) == 4
+
+    with pytest.raises(ValueError):
+        tiny_pipe("a cat", img, num_inference_steps=2, sampler="plms")
+
+
+def test_sd_timesteps_leading_spacing(tiny_pipe):
+    """Timesteps follow diffusers' "leading" spacing with the published
+    steps_offset=1 and the set_alpha_to_one=False terminal ᾱ."""
+    T = tiny_pipe.schedule.num_timesteps
+    assert tiny_pipe.steps_offset == 1
+    ratio = T // 4
+    expect = (np.arange(4) * ratio)[::-1] + 1
+    # reproduce the schedule computation used by __call__
+    ts = ((np.arange(4) * ratio)[::-1] + tiny_pipe.steps_offset).astype(np.int32)
+    np.testing.assert_array_equal(ts, expect)
+    assert tiny_pipe.final_alpha_cumprod == float(tiny_pipe.schedule.alphas_cumprod[0])
+    assert tiny_pipe.prediction_type == "v_prediction"
+    # low-res augmentation uses the image-space betas, not the latent betas
+    assert float(tiny_pipe.low_res_schedule.betas[-1]) != float(tiny_pipe.schedule.betas[-1])
+
+
 def _ref_attention(q, k, v):
     scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
