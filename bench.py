@@ -133,6 +133,20 @@ def main() -> None:
     p50 = float(np.percentile(lats, 50))
     p99 = float(np.percentile(lats, 99))
 
+    # batch-1 latency: the actual single-request serving latency (BASELINE.md
+    # "p50 per-image latency" — a batch-8 number is a different quantity).
+    img1 = imgs[:1]
+    o = pipe.upscale_batch_device(img1, jax.random.PRNGKey(0), as_uint8=True)
+    float(jnp.sum(o.astype(jnp.float32)))  # warm the batch-1 program
+    lats1 = []
+    for i in range(lat_iters):
+        t0 = time.perf_counter()
+        o = pipe.upscale_batch_device(img1, jax.random.PRNGKey(200 + i), as_uint8=True)
+        float(jnp.sum(o.astype(jnp.float32)))
+        lats1.append(time.perf_counter() - t0)
+    p50_b1 = float(np.percentile(lats1, 50))
+    p99_b1 = float(np.percentile(lats1, 99))
+
     print(
         json.dumps(
             {
@@ -143,6 +157,8 @@ def main() -> None:
                 "p50_latency_s": round(p50, 4),
                 "p99_latency_s": round(p99, 4),
                 "latency_batch": batch,
+                "p50_latency_s_b1": round(p50_b1, 4),
+                "p99_latency_s_b1": round(p99_b1, 4),
                 "sampler": sampler,
                 "steps": steps,
                 "eta": eta,
