@@ -212,20 +212,44 @@ ROWPACK_INTERPRET = False  # tests set True to exercise the kernel on CPU
 CHAIN_INTERPRET = False  # tests set True to exercise the fused chain on CPU
 
 
+# ResnetBlock-pair channel widths routed through the fused chain kernel.
+# Every SRDiff UNet stage is a candidate (per-conv FLOPs are equal across
+# stages: ¼ spatial × 4× C² per level), but only widths with a measured
+# real-Mosaic win are default-on; see docs/DESIGN.md "Fused chain coverage".
+# Override for A/B runs with DGMSR_CHAIN_C="64,128,192".
+_CHAIN_CHANNELS = (64,)
+
+
+def _chain_channels() -> tuple[int, ...]:
+    env = os.environ.get("DGMSR_CHAIN_C")
+    if env:
+        return tuple(int(v) for v in env.split(","))
+    return _CHAIN_CHANNELS
+
+
+def chain_stem_enabled() -> bool:
+    """Gate for the stem-fused chain variant (``block_chain3_stem``): folds
+    the 3→dim stem conv + 1×1 residual conv of down stage 0 into the chain
+    call. Opt out with ``DGMSR_PALLAS_STEM=0``. Applies only where
+    :func:`chain_eligible` already routed the pair to the kernel."""
+    return os.environ.get("DGMSR_PALLAS_STEM", "1").lower() not in ("", "0", "false")
+
+
 def chain_eligible(h: int, w: int, c: int) -> bool:
     """Gate for the fused ResnetBlock-pair chain kernel
     (ops/pallas/block_chain.py): ON by default on TPU (measured end-to-end
     win, 7.94 vs 7.62 img/s at the ddim20 operating point — unlike the
     per-conv rowpack, the whole region is one call so XLA loses no cross-op
-    fusion); opt out with ``DGMSR_PALLAS_FUSED=0``. Shapes validated on real
-    Mosaic are the SRDiff C=64 stages with lane-aligned widths — anything
-    else falls back to the XLA composition."""
+    fusion); opt out with ``DGMSR_PALLAS_FUSED=0``. Non-lane-aligned widths
+    (native-size SR, e.g. W=500) are eligible too — measured 1.53× region
+    win at (8,500,500,64) bf16 on real Mosaic, no pad-to-lane needed
+    (VERDICT r2 #7); W<128 falls back (unmeasured M-dim territory)."""
     enabled = os.environ.get("DGMSR_PALLAS_FUSED", "1").lower() not in ("", "0", "false")
     if not (enabled or CHAIN_INTERPRET):
         return False
     if not (jax.default_backend() == "tpu" or CHAIN_INTERPRET):
         return False
-    return c == 64 and h % 8 == 0 and h >= 32 and w % 128 == 0 and w >= 128
+    return c in _chain_channels() and h % 8 == 0 and h >= 32 and w >= 128
 
 
 def _rowpack_eligible(x, c_in: int, features: int) -> bool:
@@ -354,13 +378,18 @@ class Conv1x1Pair(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x2=None):
-        c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
+    def __call__(self, x, x2=None, *, weights_only=False, c_in=None):
+        if c_in is None:
+            c_in = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (1, 1, c_in, self.features),
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        if weights_only:
+            # Fused-region serving path (ops/pallas/block_chain.py stem
+            # variant): the 1×1 conv runs inside the chain kernel.
+            return kernel[0, 0], bias
         k = kernel[0, 0].astype(self.dtype)
         y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype), k[: x.shape[-1]])
         if x2 is not None:
@@ -404,11 +433,26 @@ class ResnetBlock(nn.Module):
         Creates exactly the params (names + shapes) of the normal path.
         ``"head"`` (the chain's first ResnetBlock) computes block1's conv
         pre-activation and the residual-conv output in XLA and hands block2's
-        weights to the kernel; ``"tail"`` (the second ResnetBlock, input
-        channels == dim_out so the residual is the identity carried inside
-        the kernel) hands over both convs' weights.
+        weights to the kernel; ``"head_stem"`` (down stage 0, 3-channel input)
+        hands over block1's AND the residual conv's weights too — the
+        stem-fused kernel variant runs them inside the chain; ``"tail"``
+        (the second ResnetBlock, input channels == dim_out so the residual is
+        the identity carried inside the kernel) hands over both convs'
+        weights.
         """
         t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(time_emb))
+        if parts == "head_stem":
+            assert skip is None and x.shape[-1] != self.dim_out
+            wa, ba = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
+                None, weights_only=True, c_in=x.shape[-1]
+            )
+            wb, bb = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(
+                None, weights_only=True, c_in=self.dim_out
+            )
+            wr, br = Conv1x1Pair(self.dim_out, dtype=self.dtype, name="res_conv")(
+                None, weights_only=True, c_in=x.shape[-1]
+            )
+            return t, wa, ba, wr, br, wb, bb
         if parts == "head":
             a_pre = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
                 x, skip, act=False

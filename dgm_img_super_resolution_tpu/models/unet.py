@@ -123,8 +123,26 @@ class Unet(nn.Module):
             from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
                 _BLOCK_ROWS as _BC_ROWS,
                 block_chain3,
+                block_chain3_stem,
             )
 
+            if x.shape[-1] <= 4 and skip is None and _l.chain_stem_enabled():
+                # Stem-fused variant (down stage 0): the lane-starved 3→dim
+                # stem conv (~2 TFLOP/s standalone, docs/DESIGN.md "Thin-stem
+                # conv study") and the 3→dim 1×1 residual conv move inside
+                # the kernel — their outputs never round-trip HBM.
+                tv1, wa, ba, wr, br, wb, bb = rb1(x, t, parts="head_stem")
+                tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
+                # The kernel derives its VMEM scratch dtype from x: cast to
+                # the compute dtype HERE (the non-stem path gets this for
+                # free because a_pre/r1 come out of XLA Blocks at
+                # self.dtype) — an f32 x from the sampler scan would
+                # otherwise double the rolling-slot footprint and blow the
+                # 16 MB scoped-vmem limit at 512².
+                return block_chain3_stem(
+                    x.astype(self.dtype), wa, ba, wr, br, tv1, tv2, wb, bb,
+                    wc, bc, wd, bd, cond, _BC_ROWS, _l.CHAIN_INTERPRET,
+                )
             a_pre, tv1, r1, wb, bb = rb1(x, t, skip=skip, parts="head")
             tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
             return block_chain3(
@@ -138,7 +156,6 @@ class Unet(nn.Module):
             return (
                 not self.is_initializing()
                 and self.groups == 0
-                and dim_out == 64
                 and chain_eligible(x.shape[1], x.shape[2], dim_out)
             )
 
@@ -151,8 +168,8 @@ class Unet(nn.Module):
                 is_last = i >= num_res - 1
                 rb1 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")
                 rb2 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")
-                if i == 0 and chain_ok(x, dim_out):
-                    x = fused_pair(rb1, rb2, x, cond=cond_proj)
+                if chain_ok(x, dim_out):
+                    x = fused_pair(rb1, rb2, x, cond=cond_proj if i == 0 else None)
                 else:
                     x = rb1(x, t)
                     x = rb2(x, t)
@@ -179,13 +196,20 @@ class Unet(nn.Module):
             if mode == "encode":
                 return tuple(h), x
 
-        x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block1")(x, t)
-        if self.use_attn:
-            # Residual(Rezero(LinearAttention)) with the gate inlined:
-            # g initialises to 0 so the attention branch starts disabled.
-            g = self.param("mid_attn_g", nn.initializers.zeros, (1,))
-            x = x + LinearAttention(dtype=self.dtype, name="mid_attn")(x) * g
-        x = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block2")(x, t)
+        mb1 = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block1")
+        mb2 = ResnetBlock(dims[-1], self.dim, self.groups, self.dtype, name="mid_block2")
+        if not self.use_attn and chain_ok(x, dims[-1]):
+            # mid_block1/mid_block2 are a plain ResnetBlock pair when the
+            # attention gate is off (the SRDiff config) — same fused region.
+            x = fused_pair(mb1, mb2, x)
+        else:
+            x = mb1(x, t)
+            if self.use_attn:
+                # Residual(Rezero(LinearAttention)) with the gate inlined:
+                # g initialises to 0 so the attention branch starts disabled.
+                g = self.param("mid_attn_g", nn.initializers.zeros, (1,))
+                x = x + LinearAttention(dtype=self.dtype, name="mid_attn")(x) * g
+            x = mb2(x, t)
 
         # up stages mirror reversed(in_out[1:]) — 3 stages, all with Upsample
         # (the reference's is_last condition never triggers there). The skip

@@ -59,7 +59,9 @@ def _rowpack_matmul(scratch, slot, w_ref, rows: int, width: int, c: int):
     """All row-pair matmuls over one completed (rows+2, width+2, c) slot.
 
     Returns a list of ``rows // 2`` f32 (width, 2c) accumulators (bias and
-    epilogues are applied by the caller).
+    epilogues are applied by the caller). C=64 only: the pairing fills the
+    128 lanes; Mosaic rejects the lane-concats past one tile at C≥128
+    ("Input offsets outside of the first tile").
     """
     accs = []
     for r in range(rows // 2):
@@ -76,10 +78,31 @@ def _rowpack_matmul(scratch, slot, w_ref, rows: int, width: int, c: int):
     return accs
 
 
+def _rows_matmul(scratch, slot, w_ref, rows: int, width: int, c: int):
+    """Per-row 3×3 conv matmuls over one completed (rows+2, width+2, c) slot
+    — the C≥128 mode: lanes are already full without row-pairing, so each
+    output row is 9 plain (W,C)@(C,C) MXU dots and NO lane concats appear
+    anywhere (w_ref is the unpacked (9, C, C) kernel, p = dy·3 + dx).
+
+    Returns a list of ``rows`` f32 (width, c) accumulators.
+    """
+    accs = []
+    for i in range(rows):
+        acc = jnp.zeros((width, c), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                xa = scratch[slot, i + dy, dx : dx + width, :]
+                acc = acc + jnp.dot(
+                    xa, w_ref[dy * 3 + dx], preferred_element_type=jnp.float32
+                )
+        accs.append(acc)
+    return accs
+
+
 def _kernel(
     a_ref, r1_ref, tv1_ref, tv2_ref, wb_ref, bb_ref, wc_ref, bc_ref,
     wd_ref, bd_ref, *rest,
-    rows: int, width: int, c: int, has_cond: bool, out_dtype,
+    rows: int, width: int, c: int, has_cond: bool, out_dtype, packed: bool,
 ):
     if has_cond:
         cond_ref, o_ref, h1_s, y1_s, h2_s = rest
@@ -138,15 +161,22 @@ def _kernel(
             h1_s[h1_prev, rows + 1, :, :] = h1_s[h1_prev, rows - 1, :, :]
 
         y1_slot = jax.lax.rem(j - 1, 3)
-        bias2 = jnp.concatenate([bb_ref[0], bb_ref[0]]).astype(jnp.float32)
-        accs = _rowpack_matmul(h1_s, h1_prev, wb_ref, rows, width, c)
-        for r, acc in enumerate(accs):
-            r1a = r1_ref[0, 2 * r, :, :]
-            r1b = r1_ref[0, 2 * r + 1, :, :]
-            r1cat = jnp.concatenate([r1a, r1b], axis=-1).astype(jnp.float32)
-            y = (_mish_f32(acc + bias2) + r1cat).astype(y1_s.dtype)
-            y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :] = y[:, :c]
-            y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :] = y[:, c:]
+        if packed:
+            bias2 = jnp.concatenate([bb_ref[0], bb_ref[0]]).astype(jnp.float32)
+            accs = _rowpack_matmul(h1_s, h1_prev, wb_ref, rows, width, c)
+            for r, acc in enumerate(accs):
+                r1a = r1_ref[0, 2 * r, :, :]
+                r1b = r1_ref[0, 2 * r + 1, :, :]
+                r1cat = jnp.concatenate([r1a, r1b], axis=-1).astype(jnp.float32)
+                y = (_mish_f32(acc + bias2) + r1cat).astype(y1_s.dtype)
+                y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :] = y[:, :c]
+                y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :] = y[:, c:]
+        else:
+            bias = bb_ref[0].astype(jnp.float32)
+            for i, acc in enumerate(_rows_matmul(h1_s, h1_prev, wb_ref, rows, width, c)):
+                r1i = r1_ref[0, i, :, :].astype(jnp.float32)
+                y = (_mish_f32(acc + bias) + r1i).astype(y1_s.dtype)
+                y1_s[y1_slot, 1 + i, 1 : width + 1, :] = y
         # top halo of block j−1.
         @pl.when(j > 1)
         def _():
@@ -173,14 +203,20 @@ def _kernel(
     def _conv_c():
         h2_slot = jax.lax.rem(j - 2, 2)
         y1_slot = jax.lax.rem(j - 2, 3)
-        bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
         tv2 = tv2_ref[0, 0].astype(jnp.float32)
-        tv2cat = jnp.concatenate([tv2, tv2])
-        accs = _rowpack_matmul(y1_s, y1_slot, wc_ref, rows, width, c)
-        for r, acc in enumerate(accs):
-            h = (_mish_f32(acc + bias2) + tv2cat).astype(h2_s.dtype)
-            h2_s[h2_slot, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
-            h2_s[h2_slot, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        if packed:
+            bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
+            tv2cat = jnp.concatenate([tv2, tv2])
+            accs = _rowpack_matmul(y1_s, y1_slot, wc_ref, rows, width, c)
+            for r, acc in enumerate(accs):
+                h = (_mish_f32(acc + bias2) + tv2cat).astype(h2_s.dtype)
+                h2_s[h2_slot, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+                h2_s[h2_slot, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        else:
+            bias = bc_ref[0].astype(jnp.float32)
+            for i, acc in enumerate(_rows_matmul(y1_s, y1_slot, wc_ref, rows, width, c)):
+                h = (_mish_f32(acc + bias) + tv2).astype(h2_s.dtype)
+                h2_s[h2_slot, 1 + i, 1 : width + 1, :] = h
         @pl.when(j > 2)
         def _():
             h2_s[h2_slot, 0, :, :] = h2_s[1 - h2_slot, rows, :, :]
@@ -204,20 +240,29 @@ def _kernel(
     def _conv_d():
         h2_slot = jax.lax.rem(j - 3, 2)
         y1_slot = jax.lax.rem(j - 3, 3)
-        bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
-        accs = _rowpack_matmul(h2_s, h2_slot, wd_ref, rows, width, c)
-        for r, acc in enumerate(accs):
-            ya = y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :]
-            yb = y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :]
-            ycat = jnp.concatenate([ya, yb], axis=-1).astype(jnp.float32)
-            out = _mish_f32(acc + bias2) + ycat
-            if cond_ref is not None:
-                ca = cond_ref[0, 2 * r, :, :]
-                cb = cond_ref[0, 2 * r + 1, :, :]
-                out = out + jnp.concatenate([ca, cb], axis=-1).astype(jnp.float32)
-            out = out.astype(out_dtype)
-            o_ref[0, 2 * r, :, :] = out[:, :c]
-            o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+        if packed:
+            bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
+            accs = _rowpack_matmul(h2_s, h2_slot, wd_ref, rows, width, c)
+            for r, acc in enumerate(accs):
+                ya = y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :]
+                yb = y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :]
+                ycat = jnp.concatenate([ya, yb], axis=-1).astype(jnp.float32)
+                out = _mish_f32(acc + bias2) + ycat
+                if cond_ref is not None:
+                    ca = cond_ref[0, 2 * r, :, :]
+                    cb = cond_ref[0, 2 * r + 1, :, :]
+                    out = out + jnp.concatenate([ca, cb], axis=-1).astype(jnp.float32)
+                out = out.astype(out_dtype)
+                o_ref[0, 2 * r, :, :] = out[:, :c]
+                o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+        else:
+            bias = bd_ref[0].astype(jnp.float32)
+            for i, acc in enumerate(_rows_matmul(h2_s, h2_slot, wd_ref, rows, width, c)):
+                yi = y1_s[y1_slot, 1 + i, 1 : width + 1, :].astype(jnp.float32)
+                out = _mish_f32(acc + bias) + yi
+                if cond_ref is not None:
+                    out = out + cond_ref[0, i, :, :].astype(jnp.float32)
+                o_ref[0, i, :, :] = out.astype(out_dtype)
 
 
 def block_chain3_reference(
@@ -256,7 +301,14 @@ def _block_chain3_pallas(
     nb = h // block_rows
     has_cond = cond is not None
 
-    packed = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
+    # C=64: row-pair-packed weights (fills the 128 lanes). C≥128: lanes are
+    # already full — unpacked (9,C,C) weights, per-row dots, no lane concats
+    # (Mosaic rejects concatenate past one 128-lane tile).
+    is_packed = c == 64
+    if is_packed:
+        packed = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
+    else:
+        packed = [k.astype(dtype).reshape(9, c, c) for k in (wb, wc, wd)]
     biases = [x.astype(jnp.float32).reshape(1, c) for x in (bb, bc, bd)]
     # (B,C) → (B,1,C): the per-batch block (1,1,C) then has its last two dims
     # equal to the array dims, which real Mosaic lowering requires (a (1,C)
@@ -264,7 +316,8 @@ def _block_chain3_pallas(
     tvs = [x.astype(jnp.float32).reshape(b, 1, c) for x in (tv1, tv2)]
 
     kern = functools.partial(
-        _kernel, rows=block_rows, width=w, c=c, has_cond=has_cond, out_dtype=dtype
+        _kernel, rows=block_rows, width=w, c=c, has_cond=has_cond, out_dtype=dtype,
+        packed=is_packed,
     )
     stream = lambda off: pl.BlockSpec(  # noqa: E731
         (1, block_rows, w, c),
@@ -347,3 +400,368 @@ def _chain_bwd(block_rows, interpret, res, g):
 
 
 block_chain3.defvjp(_chain_fwd, _chain_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stem-fused variant (down stage 0): the 3→64 stem conv and the 3→64 1×1
+# residual conv move INSIDE the chain call (VERDICT r2 #3a). The XLA stem
+# runs at ~2 TFLOP/s (lane-starved C_in=3 at 512², ~3.3 ms/step at B=8,
+# docs/DESIGN.md "Thin-stem conv study") and its output + the r1 output are
+# a materialisation boundary: XLA writes (B,512,512,64)·2 tensors the chain
+# kernel immediately re-reads (~4×33.5 MB/img/step of pure HBM traffic).
+# In-kernel both convs are nearly free: the stem is the same row-pair-packed
+# formulation with K = 2·4 (x is zero-padded 3→4 channels for lane
+# alignment) — 12 (W,4)@(4,128) MXU dots per row pair vs the 6 full
+# (W,128)@(128,128) passes of each 64→64 conv — and r1 is one (W,4)@(4,64)
+# dot per row folded into conv_b's epilogue.
+#
+# Pipeline deepens to 4 lags (grid nb + 4): step j assembles x block j into
+# a 3-slot rolling scratch (conv_a reads lag 1 with halo; conv_b's r1
+# epilogue reads lag 2, content rows only), conv_a computes h1 block j−1,
+# conv_b y1 block j−2, conv_c h2 block j−3, conv_d the output block j−4.
+# Net HBM traffic becomes: read x (3-ch) + cond, write out — the stem-side
+# region boundary shrinks from 2×64-ch reads to one 3-ch read.
+
+
+def _kernel_stem(
+    x_ref, tv1_ref, tv2_ref, wa_ref, ba_ref, wr_ref, br_ref,
+    wb_ref, bb_ref, wc_ref, bc_ref, wd_ref, bd_ref, *rest,
+    rows: int, width: int, c: int, has_cond: bool, out_dtype,
+):
+    if has_cond:
+        cond_ref, o_ref, x_s, h1_s, y1_s, h2_s = rest
+    else:
+        o_ref, x_s, h1_s, y1_s, h2_s = rest
+        cond_ref = None
+    nsteps = pl.num_programs(1)  # nb + 4
+    nb = nsteps - 4
+    j = pl.program_id(1)
+
+    def _col_border(scr, slot, row_lo, row_hi, w_=width):
+        scr[slot, row_lo:row_hi, 0, :] = scr[slot, row_lo:row_hi, 2, :]
+        scr[slot, row_lo:row_hi, w_ + 1, :] = scr[slot, row_lo:row_hi, w_ - 1, :]
+
+    def _col_border_row(scr, slot, row):
+        scr[slot, row, 0, :] = scr[slot, row, 2, :]
+        scr[slot, row, width + 1, :] = scr[slot, row, width - 1, :]
+
+    def _small_matmul(scratch, slot, w_ref_, cin: int):
+        """Row-pair rowpack passes for the thin stem: two K=cin dots per
+        (dx, dy-pair) block instead of a lane-concat (cin is tiny)."""
+        accs = []
+        for r in range(rows // 2):
+            acc = jnp.zeros((width, 2 * c), jnp.float32)
+            for p in range(6):
+                dx = p // 2
+                dy0 = (p % 2) * 2
+                base = 2 * r + dy0
+                xa = scratch[slot, base, dx : dx + width, :]
+                xb = scratch[slot, base + 1, dx : dx + width, :]
+                acc = acc + jnp.dot(
+                    xa, w_ref_[p, :cin], preferred_element_type=jnp.float32
+                )
+                acc = acc + jnp.dot(
+                    xb, w_ref_[p, cin:], preferred_element_type=jnp.float32
+                )
+            accs.append(acc)
+        return accs
+
+    # ---- stage X: assemble x block j into slot j%3 (active j < nb).
+    x_cur = jax.lax.rem(j, 3)
+    x_prev = jax.lax.rem(j + 2, 3)  # (j-1) % 3
+
+    @pl.when(j < nb)
+    def _assemble_x():
+        x_s[x_cur, 1 : rows + 1, 1 : width + 1, :] = x_ref[0]
+
+        @pl.when(j > 0)
+        def _():
+            x_s[x_cur, 0, :, :] = x_s[x_prev, rows, :, :]
+
+        @pl.when(j == 0)
+        def _():
+            # image top: row −1 ≡ row 1 = this block's second row.
+            x_s[x_cur, 0, 1 : width + 1, :] = x_ref[0, 1]
+
+        _col_border(x_s, x_cur, 0, rows + 1)
+
+    # ---- stage A: conv_a (stem) for x block j−1 → h1 (active 1 ≤ j ≤ nb).
+    h1_cur = jax.lax.rem(j + 1, 2)  # (j-1) % 2
+    h1_prev = 1 - h1_cur
+
+    @pl.when(jnp.logical_and(j >= 1, j <= nb))
+    def _conv_a():
+        # complete x block j−1's bottom halo.
+        @pl.when(j <= nb - 1)
+        def _():
+            x_s[x_prev, rows + 1, 1 : width + 1, :] = x_ref[0, 0]
+            _col_border_row(x_s, x_prev, rows + 1)
+
+        @pl.when(j == nb)
+        def _():
+            # image bottom: row H ≡ row H−2.
+            x_s[x_prev, rows + 1, :, :] = x_s[x_prev, rows - 1, :, :]
+
+        ba2 = jnp.concatenate([ba_ref[0], ba_ref[0]]).astype(jnp.float32)
+        tv1 = tv1_ref[0, 0].astype(jnp.float32)
+        tv1cat = jnp.concatenate([tv1, tv1])
+        accs = _small_matmul(x_s, x_prev, wa_ref, 4)
+        for r, acc in enumerate(accs):
+            h = (_mish_f32(acc + ba2) + tv1cat).astype(h1_s.dtype)
+            h1_s[h1_cur, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+            h1_s[h1_cur, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        @pl.when(j > 1)
+        def _():
+            h1_s[h1_cur, 0, :, :] = h1_s[h1_prev, rows, :, :]
+
+        @pl.when(j == 1)
+        def _():
+            h1_s[h1_cur, 0, 1 : width + 1, :] = h1_s[h1_cur, 2, 1 : width + 1, :]
+
+        _col_border(h1_s, h1_cur, 0, rows + 1)
+
+    # ---- stage B: conv_b for h1 block j−2 → y1 (active 2 ≤ j ≤ nb+1).
+    @pl.when(jnp.logical_and(j >= 2, j <= nb + 1))
+    def _conv_b():
+        h1_rd = jax.lax.rem(j, 2)  # (j-2) % 2
+        # bottom halo of h1 block j−2: h1 block j−1's first content row
+        # (stage A, which runs earlier this step, just wrote it) — or the
+        # image-bottom reflection for the last block.
+        @pl.when(j <= nb)
+        def _():
+            h1_s[h1_rd, rows + 1, :, :] = h1_s[1 - h1_rd, 1, :, :]
+
+        @pl.when(j == nb + 1)
+        def _():
+            h1_s[h1_rd, rows + 1, :, :] = h1_s[h1_rd, rows - 1, :, :]
+
+        y1_slot = jax.lax.rem(j - 2, 3)
+        x_rd = jax.lax.rem(j + 1, 3)  # (j-2) % 3: r1's input rows
+        bias2 = jnp.concatenate([bb_ref[0], bb_ref[0]]).astype(jnp.float32)
+        br2 = jnp.concatenate([br_ref[0], br_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h1_s, h1_rd, wb_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            xa = x_s[x_rd, 1 + 2 * r, 1 : width + 1, :]
+            xb = x_s[x_rd, 2 + 2 * r, 1 : width + 1, :]
+            r1cat = jnp.concatenate(
+                [
+                    jnp.dot(xa, wr_ref[0], preferred_element_type=jnp.float32),
+                    jnp.dot(xb, wr_ref[0], preferred_element_type=jnp.float32),
+                ],
+                axis=-1,
+            ) + br2
+            y = (_mish_f32(acc + bias2) + r1cat).astype(y1_s.dtype)
+            y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :] = y[:, :c]
+            y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :] = y[:, c:]
+        @pl.when(j > 2)
+        def _():
+            y1_s[y1_slot, 0, :, :] = y1_s[jax.lax.rem(j - 3, 3), rows, :, :]
+
+        @pl.when(j == 2)
+        def _():
+            y1_s[y1_slot, 0, 1 : width + 1, :] = y1_s[y1_slot, 2, 1 : width + 1, :]
+
+        _col_border(y1_s, y1_slot, 0, rows + 1)
+        # bottom halo of y1 block j−3 = this block's first row.
+        @pl.when(j > 2)
+        def _():
+            y1_s[jax.lax.rem(j - 3, 3), rows + 1, :, :] = y1_s[y1_slot, 1, :, :]
+
+    @pl.when(j == nb + 2)
+    def _y1_last_halo():
+        s = jax.lax.rem(nb - 1, 3)
+        y1_s[s, rows + 1, :, :] = y1_s[s, rows - 1, :, :]
+
+    # ---- stage C: conv_c for y1 block j−3 → h2 (active 3 ≤ j ≤ nb+2).
+    @pl.when(jnp.logical_and(j >= 3, j <= nb + 2))
+    def _conv_c():
+        h2_slot = jax.lax.rem(j + 1, 2)  # (j-3) % 2
+        y1_rd = jax.lax.rem(j, 3)  # (j-3) % 3
+        bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
+        tv2 = tv2_ref[0, 0].astype(jnp.float32)
+        tv2cat = jnp.concatenate([tv2, tv2])
+        accs = _rowpack_matmul(y1_s, y1_rd, wc_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            h = (_mish_f32(acc + bias2) + tv2cat).astype(h2_s.dtype)
+            h2_s[h2_slot, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+            h2_s[h2_slot, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        @pl.when(j > 3)
+        def _():
+            h2_s[h2_slot, 0, :, :] = h2_s[1 - h2_slot, rows, :, :]
+
+        @pl.when(j == 3)
+        def _():
+            h2_s[h2_slot, 0, 1 : width + 1, :] = h2_s[h2_slot, 2, 1 : width + 1, :]
+
+        _col_border(h2_s, h2_slot, 0, rows + 1)
+        @pl.when(j > 3)
+        def _():
+            h2_s[1 - h2_slot, rows + 1, :, :] = h2_s[h2_slot, 1, :, :]
+
+    @pl.when(j == nb + 3)
+    def _h2_last_halo():
+        s = jax.lax.rem(nb - 1, 2)
+        h2_s[s, rows + 1, :, :] = h2_s[s, rows - 1, :, :]
+
+    # ---- stage D: conv_d for h2 block j−4 → out (active j ≥ 4).
+    @pl.when(j >= 4)
+    def _conv_d():
+        h2_rd = jax.lax.rem(j, 2)  # (j-4) % 2
+        y1_rd = jax.lax.rem(j + 2, 3)  # (j-4) % 3
+        bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h2_s, h2_rd, wd_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            ya = y1_s[y1_rd, 1 + 2 * r, 1 : width + 1, :]
+            yb = y1_s[y1_rd, 2 + 2 * r, 1 : width + 1, :]
+            ycat = jnp.concatenate([ya, yb], axis=-1).astype(jnp.float32)
+            out = _mish_f32(acc + bias2) + ycat
+            if cond_ref is not None:
+                ca = cond_ref[0, 2 * r, :, :]
+                cb = cond_ref[0, 2 * r + 1, :, :]
+                out = out + jnp.concatenate([ca, cb], axis=-1).astype(jnp.float32)
+            out = out.astype(out_dtype)
+            o_ref[0, 2 * r, :, :] = out[:, :c]
+            o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+
+
+def block_chain3_stem_reference(
+    x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None, *, dtype=None
+):
+    """XLA reference composition (also the custom-VJP backward path):
+    stem reflect conv + 1×1 residual conv + the 3-conv chain."""
+    from dgm_img_super_resolution_tpu.models.layers import reflect_conv3x3
+
+    dtype = dtype or x.dtype
+    a_pre = reflect_conv3x3(x, wa, ba, dtype=dtype)
+    r1 = (
+        jnp.einsum("bhwc,cd->bhwd", x.astype(dtype), wr.astype(dtype))
+        + br.astype(dtype)
+    )
+    return block_chain3_reference(
+        a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, dtype=dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _block_chain3_stem_pallas(
+    x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None,
+    *, block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    b, h, w, cin = x.shape
+    c = wa.shape[-1]
+    assert h % block_rows == 0 and block_rows % 2 == 0, (h, block_rows)
+    assert wa.shape == (3, 3, cin, c), wa.shape
+    assert wr.shape == (cin, c), wr.shape
+    for k in (wb, wc, wd):
+        assert k.shape == (3, 3, c, c), k.shape
+    dtype = x.dtype
+    nb = h // block_rows
+    has_cond = cond is not None
+
+    # zero-pad x (and the stem weights' input dim) 3→4 channels: every
+    # in-kernel slice and dot stays 4-lane aligned; the pad channel is
+    # multiplied by zero weights so the math is unchanged.
+    cp = 4
+    assert cin <= cp, cin
+    if cin < cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
+        wa = jnp.pad(wa, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+        wr = jnp.pad(wr, ((0, cp - cin), (0, 0)))
+
+    wa_p = pack_weights(wa.astype(jnp.float32)).astype(dtype)  # (6, 2·4, 2c)
+    wbcd_p = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
+    biases = [v.astype(jnp.float32).reshape(1, c) for v in (ba, br, bb, bc, bd)]
+    wr_p = wr.astype(dtype).reshape(1, cp, c)
+    tvs = [v.astype(jnp.float32).reshape(b, 1, c) for v in (tv1, tv2)]
+
+    kern = functools.partial(
+        _kernel_stem, rows=block_rows, width=w, c=c, has_cond=has_cond,
+        out_dtype=dtype,
+    )
+
+    def stream(off, ch):
+        return pl.BlockSpec(
+            (1, block_rows, w, ch),
+            lambda i, j, off=off: (i, jnp.clip(j - off, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        stream(0, cp),        # x
+        vec, vec,             # tv1, tv2
+        full, full,           # wa packed, ba
+        full, full,           # wr, br
+        full, full, full, full, full, full,  # wb/bb, wc/bc, wd/bd
+    ]
+    inputs = [x, tvs[0], tvs[1], wa_p, biases[0], wr_p, biases[1],
+              wbcd_p[0], biases[2], wbcd_p[1], biases[3], wbcd_p[2], biases[4]]
+    if has_cond:
+        in_specs.append(stream(4, c))
+        inputs.append(cond)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb + 4),
+        in_specs=in_specs,
+        out_specs=stream(4, c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_rows + 2, w + 2, cp), dtype),  # x
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h1
+            pltpu.VMEM((3, block_rows + 2, w + 2, c), dtype),   # y1
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * (12 * cp * 2 * c + 3 * 12 * c * 2 * c + cin * c),
+            bytes_accessed=(
+                b * h * w * (cp + (1 + has_cond) * c) * dtype.itemsize
+            ),
+            transcendentals=4 * b * h * w * c,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def block_chain3_stem(
+    x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+    block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    """Stem-fused ResnetBlock-pair chain (down stage 0 — see section
+    docstring above). ``x``: (B,H,W,3) noisy residual; ``wa``/``ba``: the
+    3→C stem reflect-conv params; ``wr``/``br``: the 3→C 1×1 residual-conv
+    params; the rest as :func:`block_chain3`. Differentiable via the XLA
+    reference composition."""
+    return _block_chain3_stem_pallas(
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+        block_rows=block_rows, interpret=interpret,
+    )
+
+
+def _stem_fwd(x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+              block_rows, interpret):
+    out = block_chain3_stem(
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+        block_rows, interpret,
+    )
+    return out, (x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond)
+
+
+def _stem_bwd(block_rows, interpret, res, g):
+    (x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond) = res
+    if cond is None:
+        _, vjp = jax.vjp(
+            lambda *a: block_chain3_stem_reference(*a, None),
+            x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+        )
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        block_chain3_stem_reference,
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+    )
+    return vjp(g)
+
+
+block_chain3_stem.defvjp(_stem_fwd, _stem_bwd)

@@ -68,16 +68,15 @@ def _mish(x):
 
 
 def pack_weights(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,C,C) HWIO kernel → (6, 2C, 2C) packed K-block weights.
+    """(3,3,Cin,Cout) HWIO kernel → (6, 2Cin, 2Cout) packed K-block weights.
 
     K-block p = 2·dx + (dy_pair//2), dx ∈ 0..2, dy_pair ∈ {0, 2}: the pair of
     row taps (dy_pair, dy_pair+1) at column offset dx. Within a block,
-    K-lanes [0:C] ↔ tap dy_pair, [C:2C] ↔ tap dy_pair+1; output lanes
-    [0:C] = top output row (uses w[dy, dx]), [C:2C] = bottom output row
-    (uses w[dy-1, dx]); zeros where a tap is outside the 3×3 window.
+    K-lanes [0:Cin] ↔ tap dy_pair, [Cin:2Cin] ↔ tap dy_pair+1; output lanes
+    [0:Cout] = top output row (uses w[dy, dx]), [Cout:2Cout] = bottom output
+    row (uses w[dy-1, dx]); zeros where a tap is outside the 3×3 window.
     """
-    c = kernel.shape[2]
-    zero = jnp.zeros((c, c), kernel.dtype)
+    zero = jnp.zeros((kernel.shape[2], kernel.shape[3]), kernel.dtype)
     blocks = []
     for dx in range(3):
         for dy_pair in (0, 2):

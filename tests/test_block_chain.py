@@ -17,10 +17,14 @@ import jax.numpy as jnp
 from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
     block_chain3,
     block_chain3_reference,
+    block_chain3_stem,
+    block_chain3_stem_reference,
 )
 
 
 def _inputs(rng, b=1, h=32, w=128, c=64, dtype=jnp.float32, cond=True):
+    """Random chain inputs (c is generic: the kernel's rowpack matmuls are
+    (W, 2c)@(2c, 2c) for any c — the C=128/192 UNet stages reuse it)."""
     def t(*shape, scale=1.0):
         return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
 
@@ -51,6 +55,18 @@ def test_chain_matches_reference_f32(rng, h, block_rows, cond):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("c", [128, 192])
+def test_chain_wide_channels_f32(rng, c):
+    """The C=128 (down stage 1 / up stage 1) and C=192 (down stage 2) UNet
+    regions route through the same kernel — rowpack lanes become 2c.
+    Tolerance is 5e-5: the larger K (2c accumulations per dot) shifts f32
+    summation order vs the XLA conv (observed 2.9e-5 max at c=128)."""
+    a = _inputs(rng, b=1, h=16, w=16, c=c, cond=False)
+    got = block_chain3(*a.values(), 4, True)
+    want = block_chain3_reference(**a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
+
+
 def test_chain_bf16(rng):
     """bf16 rounds at slightly different points (the kernel keeps residual
     adds in f32 before the storage cast) — bound the error distribution
@@ -61,6 +77,61 @@ def test_chain_bf16(rng):
     err = np.abs(got - want)
     assert np.mean(err) < 0.02, np.mean(err)
     assert np.max(err) < 0.5, np.max(err)
+
+
+def _stem_inputs(rng, b=2, h=16, w=16, c=8, dtype=jnp.float32, cond=True):
+    def t(*shape, scale=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+    return dict(
+        x=t(b, h, w, 3),
+        wa=t(3, 3, 3, c, scale=0.2),
+        ba=t(c, scale=0.1),
+        wr=t(3, c, scale=0.2),
+        br=t(c, scale=0.1),
+        tv1=t(b, c, scale=0.1),
+        tv2=t(b, c, scale=0.1),
+        wb=t(3, 3, c, c, scale=0.08),
+        bb=t(c, scale=0.1),
+        wc=t(3, 3, c, c, scale=0.08),
+        bc=t(c, scale=0.1),
+        wd=t(3, 3, c, c, scale=0.08),
+        bd=t(c, scale=0.1),
+        cond=t(b, h, w, c, scale=0.1) if cond else None,
+    )
+
+
+@pytest.mark.parametrize("h,w,block_rows", [(16, 16, 4), (24, 12, 4), (16, 16, 8)])
+@pytest.mark.parametrize("cond", [True, False])
+def test_stem_chain_matches_reference_f32(rng, h, w, block_rows, cond):
+    """Stem-fused variant: the 3→C reflect stem conv + 1×1 residual conv run
+    inside the chain (4-lag pipeline, zero-padded 3→4 input channels).
+    w=12 exercises a non-lane-aligned width. NOTE: must compare on the CPU
+    backend (conftest forces it) — on TPU the XLA reference itself rounds
+    matmul inputs to bf16 under default precision, producing ~1e-2 deltas
+    that are precision noise, not kernel error."""
+    a = _stem_inputs(rng, h=h, w=w, cond=cond)
+    got = block_chain3_stem(*a.values(), block_rows, True)
+    want = block_chain3_stem_reference(**a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_stem_chain_grad_flows_via_reference(rng):
+    """Custom VJP routes backward through the XLA reference composition."""
+    a = _stem_inputs(rng)
+
+    def loss(fn):
+        def f(x, wa):
+            args = dict(a, x=x, wa=wa)
+            extra = (4, True) if fn is block_chain3_stem else ()
+            return jnp.sum(fn(*args.values(), *extra) ** 2)
+
+        return f
+
+    g_k = jax.grad(loss(block_chain3_stem), argnums=(0, 1))(a["x"], a["wa"])
+    g_r = jax.grad(loss(block_chain3_stem_reference), argnums=(0, 1))(a["x"], a["wa"])
+    for gk, gr in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=1e-2)
 
 
 def test_chain_grad_flows_via_reference(rng):

@@ -1,7 +1,11 @@
 """Bench the fused ResnetBlock-pair chain kernel vs the XLA reference
-composition at the 512²/C=64 hot shape (reference srdiff/model.py:774-781).
+composition. Default shape is the 512²/C=64 hot region (reference
+srdiff/model.py:774-781); W/C env vars rebench any UNet stage — e.g.
+C=128 H=256 W=256 is down stage 1, C=192 H=128 W=128 is down stage 2,
+and W=500 H=500 probes the native-size (non-lane-aligned) serving shapes.
 
-Env: BR=block_rows (default 4), COND=1 to include the RRDB-condition add.
+Env: BR=block_rows (default 4), COND=1 to include the RRDB-condition add,
+B/H/W/C for the shape.
 """
 import functools
 import sys, os
@@ -21,9 +25,11 @@ BR = int(os.environ.get("BR", "4"))
 COND = bool(int(os.environ.get("COND", "1")))
 B = int(os.environ.get("B", "8"))
 H = int(os.environ.get("H", "512"))
+W = int(os.environ.get("W", "512"))
+C = int(os.environ.get("C", "64"))
 
 rng = np.random.default_rng(0)
-b, hh, w, c = B, H, 512, 64
+b, hh, w, c = B, H, W, C
 dt = jnp.bfloat16
 
 def t(*shape, scale=1.0):

@@ -105,6 +105,13 @@ def main() -> None:
         help="persistent trainer work dir: a killed run resumes from the last "
         "periodic checkpoint instead of retraining from scratch",
     )
+    ap.add_argument(
+        "--modes",
+        default=None,
+        help="comma-separated mode keys to run (default: the full sweep). "
+        "Robustness re-runs on a second weight regime (VERDICT r2 #6) only "
+        "need ddpm100,ddpm100_seed2 and the candidate ddim modes.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -167,6 +174,11 @@ def main() -> None:
         ("ddim", 30, 1.0, "ddim30_eta1_ep2", args.seed, 2),
         ("ddim", 30, 1.0, "ddim30_eta1_ep3", args.seed, 3),
     ]
+    if args.modes:
+        keep = set(args.modes.split(","))
+        modes = [m for m in modes if m[3] in keep]
+        missing = keep - {m[3] for m in modes}
+        assert not missing, f"unknown mode keys: {sorted(missing)}"
     # eval phase is resumable too: each finished mode is persisted (with the
     # golden u8 images) so a tunnel drop mid-eval only redoes the mode in
     # flight, not the whole sweep
