@@ -64,13 +64,31 @@ class SRDiffPipeline:
 
     # ----------------------------------------------------------- jitted core
     @functools.lru_cache(maxsize=8)
-    def _sample_fn(self, lr_h: int, lr_w: int, as_uint8: bool = False):
+    def _sample_fn(
+        self, lr_h: int, lr_w: int, as_uint8: bool = False,
+        in_uint8: bool = False, pad: tuple[int, int] = (0, 0),
+    ):
+        """One jitted program for the whole serve: uint8→[-1,1] conversion
+        (``in_uint8`` — the serving wire format, 4× less host→device traffic
+        than float32), reflect/edge pad to 2^stages divisibility (``pad`` =
+        (ph, pw) in LR pixels), resize + sampler, crop back, and optional
+        uint8 quantisation. Keeping every step inside ONE program matters on
+        dispatch-latency-bound links (the axon tunnel here has a ~30 ms
+        round-trip floor per eager device op — tools/prep_decomp.py)."""
         scale = self.hp["sr_scale"]
         sampler = self.hp.get("sampler", "ddpm")
         num_steps = self.hp.get("sample_timesteps", 0) or None
+        ph, pw = pad
 
         def run(params, img_lr, rng):
-            img_lr_up = resize(img_lr, (lr_h * scale, lr_w * scale), variant="torch")
+            if in_uint8:
+                img_lr = img_lr.astype(jnp.float32) / 127.5 - 1.0
+            if ph or pw:
+                mode = "reflect" if ph < lr_h and pw < lr_w else "edge"
+                img_lr = jnp.pad(img_lr, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+            img_lr_up = resize(
+                img_lr, ((lr_h + ph) * scale, (lr_w + pw) * scale), variant="torch"
+            )
             if sampler == "ddim":
                 img, rrdb_out = self.diffusion.ddim_sample(
                     params, img_lr, img_lr_up, rng, num_steps=num_steps,
@@ -80,6 +98,8 @@ class SRDiffPipeline:
             else:
                 img, rrdb_out = self.diffusion.sample(params, img_lr, img_lr_up, rng)
             out = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+            if ph or pw:
+                out = out[:, : lr_h * scale, : lr_w * scale]
             if as_uint8:
                 # quantise on device: the serving wire format, and 4× less
                 # device→host traffic than float32 (matches the host-side
@@ -255,30 +275,34 @@ class SRDiffPipeline:
                     )[:k]
                 )
             return jnp.concatenate(outs, axis=0)
-        x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
         # The UNet halves the HR grid once per down stage, so it must divide
         # by 2^(stages). Reflect-pad the LR just enough (the reference never
         # hits this — its app resizes every input to 256², st_app1.py:1583-
         # 1591; we SR at native size and crop back).
-        h, w = int(x.shape[1]), int(x.shape[2])
+        h, w = h0, w0
         scale = self.hp["sr_scale"]
         div = 2 ** (len(self.hp.unet_dim_mults_tuple) - 1)
         ph = next(p for p in range(div + 1) if (h + p) * scale % div == 0)
         pw = next(p for p in range(div + 1) if (w + p) * scale % div == 0)
-        if ph or pw:
-            # reflect requires pad < dim; degenerate 1-2 px inputs use edge
-            mode = "reflect" if ph < h and pw < w else "edge"
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
-        x = shard_batch(x, self.mesh)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if progress_cb is not None:
+            x = uint8_to_pm1(imgs) if imgs.dtype == np.uint8 else jnp.asarray(imgs, jnp.float32)
+            if ph or pw:
+                # reflect requires pad < dim; degenerate 1-2 px inputs use edge
+                mode = "reflect" if ph < h and pw < w else "edge"
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+            x = shard_batch(x, self.mesh)
             out = self._run_segmented(x, rng, as_uint8, progress_cb, callback_steps)
-        else:
-            fn = self._sample_fn(x.shape[1], x.shape[2], as_uint8)
-            out = fn(self.params, x, rng)
-        if ph or pw:
-            out = out[:, : h * scale, : w * scale]
-        return out
+            if ph or pw:
+                out = out[:, : h * scale, : w * scale]
+            return out
+        # Fast path: ONE jitted program does convert + pad + sample + crop +
+        # quantise; the wire stays uint8 when the input is uint8. No eager
+        # device ops between the input transfer and the result.
+        in_uint8 = imgs.dtype == np.uint8
+        x = shard_batch(imgs if in_uint8 else np.asarray(imgs, np.float32), self.mesh)
+        fn = self._sample_fn(h, w, as_uint8, in_uint8, (ph, pw))
+        return fn(self.params, x, rng)
 
     def upscale_batch(
         self, imgs, rng: jax.Array | None = None,
