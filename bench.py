@@ -135,6 +135,30 @@ def main() -> None:
     p50 = float(np.percentile(lats, 50))
     p99 = float(np.percentile(lats, 99))
 
+    # full-chain throughput: the reference's ACTUAL sampler (T=100 ancestral
+    # DDPM, reference model.py:1076-1086 + config.yaml:69) tracked every
+    # round alongside the quality-validated fast operating point, so
+    # full-chain perf is a recorded number, not an inference (VERDICT r3
+    # next #5). Skippable with BENCH_FULL_CHAIN=0; redundant when the op
+    # point already IS the full chain.
+    full_chain = None
+    if os.environ.get("BENCH_FULL_CHAIN", "1") not in ("0", "false") and not (
+        sampler == "ddpm" and steps >= 100
+    ):
+        hp_full = hp.replace(sampler="ddpm", sample_timesteps=0, timesteps=100)
+        pipe_full = SRDiffPipeline(hp_full, params=jax.device_get(pipe.params))
+        o = pipe_full.upscale_batch_device(imgs, jax.random.PRNGKey(0), as_uint8=True)
+        float(sync(o))  # warmup/compile
+        fc_iters = int(os.environ.get("BENCH_FULL_ITERS", "3"))
+        t0 = time.perf_counter()
+        fouts = [
+            pipe_full.upscale_batch_device(imgs, jax.random.PRNGKey(i), as_uint8=True)
+            for i in range(fc_iters)
+        ]
+        fouts = [np.asarray(o) for o in fouts]
+        full_dt = time.perf_counter() - t0
+        full_chain = batch * fc_iters / full_dt
+
     # batch-1 latency: the actual single-request serving latency (BASELINE.md
     # "p50 per-image latency" — a batch-8 number is a different quantity).
     img1 = imgs[:1]
@@ -165,6 +189,9 @@ def main() -> None:
                 "steps": steps,
                 "eta": eta,
                 "enc_interval": enc_interval,
+                # the reference's T=100 ancestral chain, tracked every round
+                "full_chain_value": round(full_chain, 4) if full_chain else None,
+                "full_chain_sampler": "ddpm100" if full_chain else None,
             }
         )
     )

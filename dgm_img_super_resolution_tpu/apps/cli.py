@@ -66,8 +66,10 @@ def cmd_train(args) -> int:
     from dgm_img_super_resolution_tpu.core.config import set_hparams
     from dgm_img_super_resolution_tpu.data.div2k import DIV2KDataset
     from dgm_img_super_resolution_tpu.data.loader import DataLoader
+    from dgm_img_super_resolution_tpu.parallel.mesh import init_distributed
     from dgm_img_super_resolution_tpu.train.tasks.srdiff import SRDiffTask
 
+    init_distributed()  # no-op single-host; joins the slice when env vars say so
     hp = set_hparams(args.config, args.exp_name, args.hparams)
     ds = DIV2KDataset(
         args.data_dir,

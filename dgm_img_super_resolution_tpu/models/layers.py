@@ -211,6 +211,32 @@ def reflect_conv3x3_stride2(x, kernel, bias=None, dtype=jnp.float32):
 ROWPACK_INTERPRET = False  # tests set True to exercise the kernel on CPU
 CHAIN_INTERPRET = False  # tests set True to exercise the fused chain on CPU
 
+# Trace-time master switch for every Pallas fast path. A pallas_call is an
+# opaque custom call to GSPMD — inside a spatially-sharded (sp) serving
+# program it would force all-gathers of the full activation around each
+# call (or fail to partition outright on real multi-chip), so the pipeline
+# traces those programs under ``pallas_disabled()``; the measured chain wins
+# are single-chip numbers anyway (docs/DESIGN.md "Fused chain coverage").
+_PALLAS_FORCE_DISABLE = False
+
+
+class pallas_disabled:
+    """Context manager: disable Pallas fast paths for traces entered inside.
+
+    Only affects tracing (gate checks at trace time); already-compiled
+    programs are untouched. Re-entrant."""
+
+    def __enter__(self):
+        global _PALLAS_FORCE_DISABLE
+        self._prev = _PALLAS_FORCE_DISABLE
+        _PALLAS_FORCE_DISABLE = True
+        return self
+
+    def __exit__(self, *exc):
+        global _PALLAS_FORCE_DISABLE
+        _PALLAS_FORCE_DISABLE = self._prev
+        return False
+
 
 # ResnetBlock-pair channel widths routed through the fused chain kernel.
 # Every SRDiff UNet stage is a candidate (per-conv FLOPs are equal across
@@ -244,6 +270,8 @@ def chain_eligible(h: int, w: int, c: int) -> bool:
     (native-size SR, e.g. W=500) are eligible too — measured 1.53× region
     win at (8,500,500,64) bf16 on real Mosaic, no pad-to-lane needed
     (VERDICT r2 #7); W<128 falls back (unmeasured M-dim territory)."""
+    if _PALLAS_FORCE_DISABLE:
+        return False
     enabled = os.environ.get("DGMSR_PALLAS_FUSED", "1").lower() not in ("", "0", "false")
     if not (enabled or CHAIN_INTERPRET):
         return False
@@ -253,6 +281,8 @@ def chain_eligible(h: int, w: int, c: int) -> bool:
 
 
 def _rowpack_eligible(x, c_in: int, features: int) -> bool:
+    if _PALLAS_FORCE_DISABLE:
+        return False
     enabled = os.environ.get("DGMSR_PALLAS_CONV", "0").lower() not in ("", "0", "false")
     if not (enabled or ROWPACK_INTERPRET):
         return False

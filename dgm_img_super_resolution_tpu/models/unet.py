@@ -126,7 +126,18 @@ class Unet(nn.Module):
                 block_chain3_stem,
             )
 
-            if x.shape[-1] <= 4 and skip is None and _l.chain_stem_enabled():
+            dim_out = rb1.dim_out
+            if (
+                x.shape[-1] <= 4 and skip is None and _l.chain_stem_enabled()
+                and dim_out == 64
+            ):
+                # dim_out == 64 guard: the stem kernel has only the row-pair-
+                # packed matmul mode, which Mosaic rejects at C≥128 ("Input
+                # offsets outside of the first tile") — a non-default dim
+                # combined with DGMSR_CHAIN_C would otherwise route here and
+                # fail to compile (ADVICE r3 low #1). Other widths fall
+                # through to the non-stem head path, which has the unpacked
+                # C≥128 mode.
                 # Stem-fused variant (down stage 0): the lane-starved 3→dim
                 # stem conv (~2 TFLOP/s standalone, docs/DESIGN.md "Thin-stem
                 # conv study") and the 3→dim 1×1 residual conv move inside

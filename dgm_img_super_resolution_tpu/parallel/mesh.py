@@ -12,13 +12,16 @@ first-class and TPU-native:
 - training metric reduction via ``jax.lax.pmean`` inside ``shard_map`` — the
   realisation of what ``reduce_tensors`` was meant to do.
 
-Multi-host (DCN) initialisation hooks live here too but the v5e-8 target is
-single-pod ICI.
+Multi-host (DCN) initialisation: :func:`init_distributed` calls
+``jax.distributed.initialize`` when the standard coordinator env vars are
+present and is a no-op otherwise — the v5e-8 target is single-pod ICI, so
+single-host runs never touch it.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import re
 from typing import Any
 
@@ -27,6 +30,48 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger("dgm_img_super_resolution_tpu.parallel")
+
+_DIST_INITIALIZED = False
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Guarded multi-host init: call ``jax.distributed.initialize`` iff a
+    coordinator address is known (argument or the standard env vars JAX
+    itself reads — ``JAX_COORDINATOR_ADDRESS`` / ``COORDINATOR_ADDRESS``,
+    or a TPU-pod/SLURM/GKE environment JAX can auto-detect when
+    ``JAX_NUM_PROCESSES`` is set). Returns True when initialisation ran.
+
+    Safe to call unconditionally at startup: on a single-host machine with
+    none of the env vars set this is a no-op, so the CLI and trainer call it
+    first thing and the same entry points work on a multi-host slice. After
+    a successful init, ``jax.devices()`` spans the whole slice and
+    :func:`make_mesh` builds slice-wide meshes (dp over DCN, sp within ICI).
+    """
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return True
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    n = num_processes if num_processes is not None else os.environ.get("JAX_NUM_PROCESSES")
+    if coordinator is None and n is None:
+        return False  # single-host: nothing to do
+    kwargs: dict[str, Any] = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if n is not None:
+        kwargs["num_processes"] = int(n)
+    pid = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    _DIST_INITIALIZED = True
+    logger.info(
+        "init_distributed: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), jax.device_count(),
+    )
+    return True
 
 
 def parse_mesh_shape(spec: str, n_devices: int) -> dict[str, int]:
@@ -76,6 +121,36 @@ def shard_batch(x: Any, mesh: Mesh, axis: str = "dp") -> Any:
         return jax.device_put(a, sharded if div else rep)
 
     return jax.tree_util.tree_map(put, x)
+
+
+def shard_spatial(x: Any, mesh: Mesh, dim: int = 1) -> Any:
+    """Shard a pytree of image arrays along a SPATIAL dim (default H, dim 1)
+    over every mesh axis at once — the batch-1 serving layout: a single
+    512² request splits its rows across all chips, GSPMD inserting the conv
+    halo exchanges over ICI (the same mechanism the dp×sp train step already
+    exercises), instead of replicating the whole sample onto every chip and
+    using one (``shard_batch``'s fallback).
+
+    Callers gate on ``spatial_shardable``; arrays with fewer than ``dim+1``
+    dims (e.g. PRNG keys) are replicated."""
+    axes = tuple(mesh.axis_names)
+    sharded = NamedSharding(mesh, P(*([None] * dim), axes))
+    rep = NamedSharding(mesh, P())
+
+    def put(a):
+        ok = hasattr(a, "ndim") and a.ndim > dim
+        return jax.device_put(a, sharded if ok else rep)
+
+    return jax.tree_util.tree_map(put, x)
+
+
+def spatial_shardable(h: int, mesh: Mesh) -> bool:
+    """True when splitting ``h`` rows over the whole mesh is worthwhile:
+    >1 device, rows divide evenly, and ≥2 rows per device survive at the
+    input resolution (the UNet's deeper stages shrink further; GSPMD still
+    handles those via halo exchange + uneven-edge padding)."""
+    n = int(mesh.devices.size)
+    return n > 1 and h % n == 0 and h // n >= 2
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

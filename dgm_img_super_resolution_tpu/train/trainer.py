@@ -90,6 +90,7 @@ class Trainer:
         self.ema_decay = float(hp.get("ema_decay", 0.0))
         self._compiled_step: dict | None = None
         self._metrics_log: list[dict] = []
+        self._tb = None  # lazy TBWriter (only once fit() actually logs)
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -168,6 +169,7 @@ class Trainer:
         hp = self.hp
         max_updates = max_updates if max_updates is not None else hp["max_updates"]
         log_every = log_every or hp["tb_log_interval"]
+        self._save_codes()
         state = self.init_state(rng)
         start_step = 0
         if resume:
@@ -255,3 +257,35 @@ class Trainer:
         os.makedirs(self.work_dir, exist_ok=True)
         with open(os.path.join(self.work_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(scalars) + "\n")
+        # TensorBoard event file alongside the JSONL, same tb_log_interval
+        # cadence (reference config.yaml:60; the reference repo has no TB
+        # code — this realises what the key name promises)
+        if self._tb is None:
+            from dgm_img_super_resolution_tpu.utils.tbwriter import TBWriter
+
+            self._tb = TBWriter(os.path.join(self.work_dir, "tb"))
+        step = int(scalars.get("step", 0))
+        self._tb.add_scalars({k: v for k, v in scalars.items() if k != "step"}, step)
+
+    def _save_codes(self) -> None:
+        """Reference key ``save_codes`` (config.yaml:50-54): snapshot the
+        listed source trees into the experiment dir so a checkpoint stays
+        reproducible against code drift. Entries resolve inside this package
+        (the reference lists its upstream's `configs/models/tasks/utils`);
+        missing entries are skipped."""
+        import shutil
+
+        entries = self.hp.get("save_codes") or []
+        if not entries:
+            return
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst_root = os.path.join(self.work_dir, "codes")
+        for name in entries:
+            src = os.path.join(pkg_root, name)
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(dst_root, name)
+            shutil.copytree(
+                src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.so"),
+                dirs_exist_ok=True,
+            )

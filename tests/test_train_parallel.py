@@ -40,6 +40,33 @@ def test_parse_mesh_shape():
         parse_mesh_shape("dp=3", 8)
 
 
+def test_init_distributed_gating(monkeypatch):
+    """No env vars → no-op (single-host); coordinator env → initialize called
+    with the resolved kwargs (the actual multi-host rendezvous needs a slice,
+    so jax.distributed.initialize is stubbed)."""
+    from dgm_img_super_resolution_tpu.parallel import mesh as pm
+
+    monkeypatch.setattr(pm, "_DIST_INITIALIZED", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    calls = []
+    monkeypatch.setattr(pm.jax.distributed, "initialize", lambda **kw: calls.append(kw))
+    assert pm.init_distributed() is False
+    assert calls == []
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    assert pm.init_distributed() is True
+    assert calls == [{
+        "coordinator_address": "10.0.0.1:1234", "num_processes": 2, "process_id": 1,
+    }]
+    # idempotent: a second call is a no-op
+    assert pm.init_distributed() is True
+    assert len(calls) == 1
+    monkeypatch.setattr(pm, "_DIST_INITIALIZED", False)
+
+
 def test_batch_shards_over_dp():
     mesh = make_mesh("dp=8")
     x = jnp.zeros((16, 4, 4, 3))
@@ -156,6 +183,70 @@ def test_multidevice_inference_matches_single_device(rng):
     # float drift from sharding-dependent fusion/reduction order compounds
     # over the sampler steps; measured max |Δ| ≈ 1.4e-5 on the virtual mesh
     np.testing.assert_allclose(outs["dp=8"], outs["dp=1"], atol=1e-4, rtol=1e-4)
+
+
+def test_spatial_shardable_gate():
+    from dgm_img_super_resolution_tpu.parallel.mesh import spatial_shardable
+
+    m8 = make_mesh("dp=8")
+    m1 = make_mesh("dp=1", devices=jax.devices()[:1])
+    assert spatial_shardable(16, m8)       # 2 rows/device
+    assert spatial_shardable(128, m8)      # the 512²-serving LR height
+    assert not spatial_shardable(8, m8)    # 1 row/device: not worthwhile
+    assert not spatial_shardable(12, m8)   # uneven split
+    assert not spatial_shardable(128, m1)  # single device: nothing to split
+
+
+def test_batch1_routes_spatial_on_multichip_mesh(rng):
+    """Routing decision only (no sampler compile): a batch-1 request on an
+    8-device mesh must take the spatially-sharded path; divisible batches
+    keep dp; single-device meshes never go spatial."""
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    hp = TINY.replace(timesteps=4)
+    pipe = SRDiffPipeline(hp, rng=jax.random.PRNGKey(5), mesh=make_mesh("dp=8"))
+    assert pipe._spatial_serving(1, 16)
+    assert pipe._spatial_serving(3, 128)   # any dp-indivisible batch
+    assert not pipe._spatial_serving(8, 128)  # divisible → dp sharding
+    assert not pipe._spatial_serving(1, 12)   # rows don't split evenly
+    pipe1 = SRDiffPipeline(
+        hp, params=jax.device_get(pipe.params),
+        mesh=make_mesh("dp=1", devices=jax.devices()[:1]),
+    )
+    assert not pipe1._spatial_serving(1, 128)
+
+
+@slow
+def test_batch1_spatial_sharding_matches_single_device(rng):
+    """Batch-1 serving on a dp=8 mesh shards the image ROWS over all 8
+    devices (GSPMD conv halo exchange) and must reproduce the single-device
+    output (VERDICT r3 next #1). Covers the fast path (one jitted program,
+    uint8 wire) and the segmented progress path."""
+    from dgm_img_super_resolution_tpu.inference import SRDiffPipeline
+
+    hp = TINY.replace(timesteps=4)
+    lr_img = rng.uniform(-1.0, 1.0, (1, 16, 16, 3)).astype(np.float32)
+    params = None
+    outs, outs_seg = {}, {}
+    for spec in ("dp=1", "dp=8"):
+        pipe = SRDiffPipeline(
+            hp, params=params,
+            mesh=make_mesh(spec, devices=jax.devices()[: int(spec[3:])]),
+            rng=jax.random.PRNGKey(5),
+        )
+        params = jax.device_get(pipe.params)
+        if spec == "dp=8":
+            assert pipe._spatial_serving(1, 16)
+        outs[spec] = np.asarray(
+            pipe.upscale_batch_device(lr_img, jax.random.PRNGKey(3), as_uint8=True)
+        )
+        outs_seg[spec] = pipe.upscale_batch(
+            lr_img, jax.random.PRNGKey(3), progress_cb=lambda d, t: None,
+            callback_steps=2,
+        )
+    assert outs["dp=8"].shape == (1, 64, 64, 3)
+    assert np.abs(outs["dp=8"].astype(np.int16) - outs["dp=1"].astype(np.int16)).max() <= 1
+    np.testing.assert_allclose(outs_seg["dp=8"], outs_seg["dp=1"], atol=1e-4, rtol=1e-4)
 
 
 def test_upscale_batch_device_uint8_matches_float_path(rng):

@@ -98,9 +98,45 @@ def test_stem_kernel_sees_compute_dtype(rng, monkeypatch):
     assert seen["x_dtype"] == jnp.bfloat16
 
 
+def test_stem_gate_requires_c64(rng, monkeypatch):
+    """A non-default width (dim=128) admitted via DGMSR_CHAIN_C must NOT
+    route down stage 0 into the stem kernel (packed-only, Mosaic rejects
+    C≥128) — it takes the non-stem head path, which has the unpacked mode,
+    and still matches the XLA composition (ADVICE r3 low #1)."""
+    from dgm_img_super_resolution_tpu.ops.pallas import block_chain as bc
+
+    model = Unet(dim=128, out_dim=3, dim_mults=(1, 2), cond_dim=4, rrdb_num_block=2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 128, 3)), jnp.float32)
+    time = jnp.asarray([3.0], jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, 8, 32, 4)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, time, cond)
+    want = model.apply(params, x, time, cond)
+
+    calls = {"stem": 0, "head": 0}
+    orig_stem, orig_head = bc.block_chain3_stem, bc.block_chain3
+
+    def spy_stem(*a, **kw):
+        calls["stem"] += 1
+        return orig_stem(*a, **kw)
+
+    def spy_head(*a, **kw):
+        calls["head"] += 1
+        return orig_head(*a, **kw)
+
+    monkeypatch.setattr(layers, "CHAIN_INTERPRET", True)
+    monkeypatch.setenv("DGMSR_CHAIN_C", "128")
+    monkeypatch.setattr(bc, "block_chain3_stem", spy_stem)
+    monkeypatch.setattr(bc, "block_chain3", spy_head)
+    got = model.apply(params, x, time, cond)
+    assert calls["stem"] == 0 and calls["head"] > 0, calls
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 def test_chain_eligible_gate(monkeypatch):
-    """Default-ON on TPU for validated shapes; DGMSR_PALLAS_FUSED=0 opts out;
-    non-lane-aligned / non-C=64 shapes fall back to the XLA composition."""
+    """Default-ON on TPU for validated shapes; DGMSR_PALLAS_FUSED=0 opts out.
+    Non-lane-aligned widths ARE eligible (W ≥ 128, aligned or not — measured
+    1.53× at W=500); the channel set comes from _chain_channels()/DGMSR_CHAIN_C
+    (default {64}), so non-default widths like C=128 need the env override."""
     monkeypatch.setattr(layers.jax, "default_backend", lambda: "tpu")
     monkeypatch.delenv("DGMSR_PALLAS_FUSED", raising=False)
     monkeypatch.delenv("DGMSR_CHAIN_C", raising=False)
