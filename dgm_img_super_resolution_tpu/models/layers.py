@@ -74,6 +74,68 @@ def reflect_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def _upsample_variant() -> str:
+    """Formulation of the k=4/s=2/p=1 ConvTranspose (the UNet Upsamples).
+
+    ``dilated``  — one ``conv_general_dilated`` with ``lhs_dilation=2``: the
+                   input is zero-dilated, so 12 of the 16 kernel taps per
+                   output pixel multiply structural zeros (25% useful MXU
+                   occupancy in the K dim).
+    ``phase4``   — sub-pixel decomposition: 4 VALID 2×2 convs (one per output
+                   parity phase, kernel slices) + depth-to-space interleave.
+                   Exact FLOPs, no zeros.
+    ``embed3x3`` — ONE 3×3 VALID conv C→4C with each phase's 2×2 kernel
+                   zero-embedded at its parity offset, then depth-to-space:
+                   2.25× the taps of phase4 but a single perfectly MXU-shaped
+                   conv.
+
+    All three are mathematically the same operator (tests/test_models.py
+    pins equality); the default is set by the measured in-scan A/B
+    (tools/upsample_bench.py + tools/unet_scan_bench.py, docs/DESIGN.md
+    "Upsample formulation study").
+    """
+    return os.environ.get("DGMSR_UPSAMPLE", _UPSAMPLE_DEFAULT)
+
+
+_UPSAMPLE_DEFAULT = "dilated"  # flipped by the measured in-scan A/B below
+
+
+def _convtranspose_k4s2p1_subpixel(x, kernel, bias, dtype, variant: str):
+    """Sub-pixel formulations of ConvTranspose(k=4, s=2, p=1) over the
+    pre-flipped HWIO kernel. Output pixel (2j+a, 2l+b) reads input rows
+    j-1+a..j+a / cols l-1+b..l+b through the (2,2) kernel slice
+    ``kernel[a::2, b::2]`` — the parity decomposition of the dilated form."""
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    dn = ("NHWC", "HWIO", "NHWC")
+    b_, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if variant == "phase4":
+        ys = []
+        for a in (0, 1):
+            for bb in (0, 1):
+                sl = xp[:, a : a + h + 1, bb : bb + w + 1, :]
+                kk = kernel[a::2][:2][:, bb::2][:, :2]
+                ys.append(jax.lax.conv_general_dilated(
+                    sl, kk, (1, 1), "VALID", dimension_numbers=dn))
+        y = jnp.stack(ys, axis=3)  # (B,H,W,4,Cout), phase index a*2+b
+    else:  # embed3x3
+        k3 = jnp.zeros((3, 3, c, 4 * cout), dtype)
+        for a in (0, 1):
+            for bb in (0, 1):
+                g = a * 2 + bb
+                kk = kernel[a::2][:2][:, bb::2][:, :2]
+                k3 = k3.at[a : a + 2, bb : bb + 2, :, g * cout : (g + 1) * cout].set(kk)
+        y = jax.lax.conv_general_dilated(xp, k3, (1, 1), "VALID", dimension_numbers=dn)
+        y = y.reshape(b_, h, w, 4, cout)
+    y = y.reshape(b_, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b_, 2 * h, 2 * w, cout)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class ConvTranspose2dTorch(nn.Module):
     """Transposed conv with torch ``ConvTranspose2d(in, out, k, s, p,
     output_padding=op)`` output-size semantics: ``out = (in-1)*s - 2p + k + op``.
@@ -83,6 +145,12 @@ class ConvTranspose2dTorch(nn.Module):
     conv, no scatter. The kernel param is stored in HWIO *already spatially
     flipped* relative to torch, so the forward pass is a plain correlation;
     the checkpoint importer performs the flip (see ``ckpt/torch_import.py``).
+
+    The (k=4, s=2, p=1) case — the UNet's three Upsamples, the only
+    ConvTranspose inside the sampling scan — routes through the sub-pixel
+    parity decomposition selected by ``DGMSR_UPSAMPLE`` (see
+    :func:`_upsample_variant`): the dilated form feeds the MXU 75%
+    structural zeros in its K dim.
     """
 
     features: int
@@ -105,6 +173,14 @@ class ConvTranspose2dTorch(nn.Module):
             (k, k, in_features, self.features),
             self.param_dtype,
         )
+        variant = _upsample_variant()
+        if (k, s, p, self.output_padding) == (4, 2, 1, 0) and variant != "dilated":
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None
+            )
+            return _convtranspose_k4s2p1_subpixel(x, kernel, bias, self.dtype, variant)
         pad = k - 1 - p
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

@@ -45,6 +45,28 @@ def test_reflect_pad_matches_torch(rng):
     np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), atol=0)
 
 
+@pytest.mark.parametrize("variant", ["dilated", "phase4", "embed3x3"])
+def test_upsample_formulations_identical(variant, rng, monkeypatch):
+    """The three k4/s2/p1 ConvTranspose formulations (DGMSR_UPSAMPLE) are the
+    same operator: each matches the torch ConvTranspose2d oracle, including
+    at odd spatial sizes where the parity slices are exercised asymmetrically."""
+    monkeypatch.setenv("DGMSR_UPSAMPLE", variant)
+    cin, cout, h, w = 5, 7, 9, 6
+    x = rng.standard_normal((2, h, w, cin)).astype(np.float32)
+    w_t = rng.standard_normal((cin, cout, 4, 4)).astype(np.float32) * 0.1
+    b_t = rng.standard_normal((cout,)).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w_t), torch.from_numpy(b_t), stride=2, padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    mod = ConvTranspose2dTorch(cout, 4, 2, 1)
+    kernel = jnp.asarray(np.transpose(w_t[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+    params = {"params": {"kernel": kernel, "bias": jnp.asarray(b_t)}}
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 2 * h, 2 * w, cout)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 @pytest.mark.parametrize("k,s,p,h", [(4, 2, 1, 8), (8, 4, 2, 16), (3, 1, 1, 9)])
 def test_conv_transpose_matches_torch(k, s, p, h, rng):
     """ConvTranspose2dTorch == torch ConvTranspose2d under the weight map
