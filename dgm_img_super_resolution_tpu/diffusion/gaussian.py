@@ -21,6 +21,7 @@ Capability twin of the reference ``GaussianDiffusion`` (``srdiff/model.py:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable
 
 import jax
@@ -28,6 +29,50 @@ import jax.numpy as jnp
 
 from dgm_img_super_resolution_tpu.diffusion.schedule import Schedule, extract
 from dgm_img_super_resolution_tpu.metrics.psnr_ssim import ssim as ssim_loss
+
+
+def pad_carry_lanes() -> int:
+    """Lane padding for the sampler carry (0 disables).
+
+    The carried image is (B,H,W,3); a C=3 minor dim tiles catastrophically
+    on TPU — the profiled op-point step spent ~18% in its layout round-trip
+    (an f32→bf16 convert at 14 GiB/s, a standalone pad feeding the stem
+    kernel, two f32 relayout copies at the scan-carry boundary, and the
+    final 64→3 conv writing a `{0,3,2,1}` layout at 5.6 TFLOP/s). Padding
+    the carry to 4 lanes removes every C=3 tensor from the scan.
+
+    Exactness: lane 3 is *identically zero* through the whole chain — the
+    initial x and every per-step noise draw happen at the true channel
+    count and are zero-padded (so the random stream is unchanged), the
+    UNet's final conv zero-pads its output (models/unet.py pad_out), and
+    the stem chain kernel zero-pads its weights' input dim. The padded
+    sampler computes the same math on the true lanes; per-step components
+    are bitwise equal, and the compiled chain agrees to XLA re-fusion
+    rounding (~1e-6 over 8 steps; pinned by tests/test_diffusion.py).
+
+    Measured (real v5e, op point ddim20/η=1/512², two A/B sessions): the
+    profiled 18% did NOT convert to throughput — XLA hides most of the
+    layout traffic behind compute — but batch-8 p50 latency reproducibly
+    improves ~2% (0.958–0.963 s vs 0.978–0.984 s) while throughput moves
+    within noise (−0.7%/+0.8% across sessions). Default ON for the latency
+    win. Env: DGMSR_PAD_CARRY=0 to disable.
+    """
+    return 0 if os.environ.get("DGMSR_PAD_CARRY", "1") in ("0", "false") else 4
+
+
+def _lane_pad(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad the trailing (channel) dim of x to n lanes (no-op if wider)."""
+    if n <= x.shape[-1]:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, n - x.shape[-1]),))
+
+
+def _lane_noise(rng: jax.Array, shape, true_c: int | None, dtype=jnp.float32):
+    """Gaussian noise drawn at the TRUE channel count, zero-padded to the
+    carry's lane count — keeps the random stream independent of padding."""
+    c = true_c or shape[-1]
+    noise = jax.random.normal(rng, tuple(shape[:-1]) + (c,), dtype)
+    return _lane_pad(noise, shape[-1])
 
 
 def noise_like(rng: jax.Array, shape, repeat: bool = False) -> jnp.ndarray:
@@ -105,11 +150,11 @@ class GaussianDiffusion:
             cond_projected=True, up_folded=True, mode="encode",
         )
 
-    def _apply_decode(self, params, enc, t):
+    def _apply_decode(self, params, enc, t, pad_out=False):
         """UNet mid/up/final from cached encoder features."""
         return self.denoise_fn.apply(
             {"params": params["denoise_fn"]}, None, t, None, None,
-            mode="decode", enc_feats=enc,
+            mode="decode", enc_feats=enc, pad_out=pad_out,
         )
 
     def rrdb_cond(self, params, img_lr, img_lr_up):
@@ -224,19 +269,20 @@ class GaussianDiffusion:
         return losses, imgs, t
 
     # -------------------------------------------------------------- sampling
-    def p_sample_from_pred(self, x, t, noise_pred, rng, clip_denoised: bool = True):
+    def p_sample_from_pred(self, x, t, noise_pred, rng, clip_denoised: bool = True,
+                           noise_c: int | None = None):
         mean, _, log_variance, x0 = self.p_mean_variance(x, t, noise_pred, clip_denoised)
-        noise = jax.random.normal(rng, x.shape, x.dtype)
+        noise = _lane_noise(rng, x.shape, noise_c, x.dtype)
         nonzero = (t > 0).astype(x.dtype).reshape(x.shape[0], *((1,) * (x.ndim - 1)))
         return mean + nonzero * jnp.exp(0.5 * log_variance) * noise, x0
 
     def p_sample(self, params, x, t, cond, img_lr_up, rng, noise_pred=None,
-                 clip_denoised=True, cond_projected=False):
+                 clip_denoised=True, cond_projected=False, noise_c=None):
         if noise_pred is None:
             noise_pred = self._apply_denoise(
                 params, x, t, cond, img_lr_up, cond_projected
             ).astype(jnp.float32)
-        return self.p_sample_from_pred(x, t, noise_pred, rng, clip_denoised)
+        return self.p_sample_from_pred(x, t, noise_pred, rng, clip_denoised, noise_c)
 
     def sample_prepare(self, params, img_lr, img_lr_up, rng, shape=None):
         """Everything before the sampler scan: RRDB condition (computed once,
@@ -256,6 +302,8 @@ class GaussianDiffusion:
             # (reference model.py:1070-1074)
             t0 = jnp.full((b,), self.num_timesteps - 1, jnp.int32)
             x = self.q_sample(img_lr_up, t0, jax.random.normal(rng_init, shape, jnp.float32))
+        # lane-pad the carry (see pad_carry_lanes) — lane 3 stays exactly 0
+        x = _lane_pad(x, pad_carry_lanes())
         return x, cond, rrdb_out, rng_steps
 
     def sample_segment(self, params, x, cond, img_lr_up, ts, rng_steps):
@@ -263,12 +311,13 @@ class GaussianDiffusion:
         Per-step noise is keyed by ``fold_in(rng_steps, t)``, so any
         segmentation of the schedule reproduces the single-scan result."""
         b = x.shape[0]
+        nc = self._true_c(x, img_lr_up)
 
         def step(x, ti):
             t = jnp.full((b,), ti, jnp.int32)
             x_next, _ = self.p_sample(
                 params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
-                cond_projected=True,
+                cond_projected=True, noise_c=nc,
             )
             return x_next, None
 
@@ -287,22 +336,26 @@ class GaussianDiffusion:
             params, img_lr, img_lr_up, rng, shape
         )
         b = x.shape[0]
+        nc = self._true_c(x, img_lr_up)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         if not save_intermediate:
             x = self.sample_segment(params, x, cond, img_lr_up, ts, rng_steps)
-            return self.res2img(x, img_lr_up), rrdb_out
+            return self.res2img(x[..., :nc], img_lr_up), rrdb_out
 
         def step(x, ti):
             t = jnp.full((b,), ti, jnp.int32)
             x_next, x0 = self.p_sample(
                 params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
-                cond_projected=True,
+                cond_projected=True, noise_c=nc,
             )
-            return x_next, (self.res2img(x_next, img_lr_up), self.res2img(x0, img_lr_up))
+            return x_next, (
+                self.res2img(x_next[..., :nc], img_lr_up),
+                self.res2img(x0[..., :nc], img_lr_up),
+            )
 
         with jax.named_scope("sampler_scan"):
             x, intermediates = jax.lax.scan(step, x, ts)
-        return self.res2img(x, img_lr_up), rrdb_out, intermediates
+        return self.res2img(x[..., :nc], img_lr_up), rrdb_out, intermediates
 
     def ddim_timesteps(self, num_steps=None):
         """The strided (descending) DDIM schedule and its successor array
@@ -313,7 +366,12 @@ class GaussianDiffusion:
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
         return ts, ts_prev
 
-    def _ddim_update(self, x, ti, tp, eps, eta, rng_steps):
+    @staticmethod
+    def _true_c(x, img_lr_up):
+        """The true channel count of a possibly lane-padded carry."""
+        return img_lr_up.shape[-1] if img_lr_up is not None else x.shape[-1]
+
+    def _ddim_update(self, x, ti, tp, eps, eta, rng_steps, noise_c=None):
         """One DDIM x_t → x_prev update from a predicted ε (x0-clipped)."""
         acp = self.schedule.alphas_cumprod
         a_t = acp[ti]
@@ -328,7 +386,7 @@ class GaussianDiffusion:
             * jnp.sqrt(1.0 - a_t / a_prev)
         )
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-        noise = jax.random.normal(jax.random.fold_in(rng_steps, ti), x.shape, x.dtype)
+        noise = _lane_noise(jax.random.fold_in(rng_steps, ti), x.shape, noise_c, x.dtype)
         return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
 
     def ddim_segment(self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta=0.0):
@@ -338,12 +396,13 @@ class GaussianDiffusion:
         ``tests/test_diffusion.py``); per-step noise keys are
         ``fold_in(rng_steps, t)``, so segmentation is result-invariant."""
         b = x.shape[0]
+        nc = self._true_c(x, img_lr_up)
 
         def step(x, t_pair):
             ti, tp = t_pair
             t = jnp.full((b,), ti, jnp.int32)
             eps = self._apply_denoise(params, x, t, cond, img_lr_up, True).astype(jnp.float32)
-            return self._ddim_update(x, ti, tp, eps, eta, rng_steps), None
+            return self._ddim_update(x, ti, tp, eps, eta, rng_steps, nc), None
 
         with jax.named_scope("ddim_scan"):
             x, _ = jax.lax.scan(step, x, (ts, ts_prev))
@@ -362,6 +421,8 @@ class GaussianDiffusion:
         K = int(enc_interval)
         assert len(ts) % K == 0, (len(ts), K)
         b = x.shape[0]
+        nc = self._true_c(x, img_lr_up)
+        pad_out = x.shape[-1] > nc
         tsg = ts.reshape(-1, K)
         tspg = ts_prev.reshape(-1, K)
 
@@ -371,8 +432,8 @@ class GaussianDiffusion:
             enc = self._apply_encode(params, x, t0, cond, img_lr_up)
             for j in range(K):
                 t = jnp.full((b,), tg[j], jnp.int32)
-                eps = self._apply_decode(params, enc, t).astype(jnp.float32)
-                x = self._ddim_update(x, tg[j], tpg[j], eps, eta, rng_steps)
+                eps = self._apply_decode(params, enc, t, pad_out).astype(jnp.float32)
+                x = self._ddim_update(x, tg[j], tpg[j], eps, eta, rng_steps, nc)
             return x, None
 
         with jax.named_scope("ddim_encprop_scan"):
@@ -407,7 +468,7 @@ class GaussianDiffusion:
                 )
         else:
             x = self.ddim_segment(params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta)
-        return self.res2img(x, img_lr_up), rrdb_out
+        return self.res2img(x[..., : self._true_c(x, img_lr_up)], img_lr_up), rrdb_out
 
     def interpolate(self, params, x1, x2, img_lr, img_lr_up, rng, t=None, lam=0.5):
         """Latent mixing sampler (reference ``model.py:1093-1116``)."""

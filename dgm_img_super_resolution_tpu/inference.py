@@ -163,6 +163,7 @@ class SRDiffPipeline:
                 return d.sample_segment(params, x, cond, img_lr_up, ts, rng_steps)
 
         def finish(params, x, img_lr_up):
+            x = x[..., : img_lr_up.shape[-1]]  # drop lane padding (pad_carry_lanes)
             out = jnp.clip(d.res2img(x, img_lr_up) * 0.5 + 0.5, 0.0, 1.0)
             if as_uint8:
                 out = jnp.round(out * 255.0).astype(jnp.uint8)

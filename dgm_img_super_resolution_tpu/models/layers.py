@@ -482,6 +482,7 @@ class Conv1x1Pair(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    pad_out_to: int = 0
 
     @nn.compact
     def __call__(self, x, x2=None, *, weights_only=False, c_in=None):
@@ -497,10 +498,19 @@ class Conv1x1Pair(nn.Module):
             # variant): the 1×1 conv runs inside the chain kernel.
             return kernel[0, 0], bias
         k = kernel[0, 0].astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if self.pad_out_to > self.features:
+            # Dead zero output lanes for the lane-padded sampler carry
+            # (diffusion/gaussian.py pad_carry_lanes): zero kernel + zero
+            # bias make the extra lanes exactly 0, so the scan's image
+            # tensor keeps its DMA-friendly padded minor dim end to end.
+            extra = self.pad_out_to - self.features
+            k = jnp.pad(k, ((0, 0), (0, extra)))
+            b = jnp.pad(b, ((0, extra),))
         y = jnp.einsum("bhwc,cd->bhwd", x.astype(self.dtype), k[: x.shape[-1]])
         if x2 is not None:
             y = y + jnp.einsum("bhwc,cd->bhwd", x2.astype(self.dtype), k[x.shape[-1] :])
-        return y + bias.astype(self.dtype)
+        return y + b
 
 
 class ResnetBlock(nn.Module):

@@ -98,7 +98,13 @@ class UNet2DCondition(nn.Module):
     sinusoidal+MLP timestep embedding is used."""
     cross_attention_dim: int = 1024
     transformer_depth: int = 1
-    use_flash: bool = False
+    use_flash: bool = True
+    """Pallas flash attention for ≥1024-token self-attention (the 128²-latent
+    production shape is 16k tokens). Default ON: measured at the production
+    operating point (128→512, 20 steps, CFG, real v5e chip) it matches plain
+    XLA attention steady-state (0.661 vs 0.660 s p50 per image) and compiles
+    8.5× faster (17.2 s vs 145.7 s) — the O(L²) score matrix never
+    materialises. Off-TPU it runs in interpret mode (ops/pallas/attention.py)."""
     dtype: Dtype = jnp.float32
 
     def _heads(self, ch: int) -> tuple[int, int]:
@@ -112,7 +118,7 @@ class UNet2DCondition(nn.Module):
         return bool(self.only_cross_attention[level])
 
     @classmethod
-    def from_config(cls, cfg: dict, dtype=jnp.float32, use_flash: bool = False):
+    def from_config(cls, cfg: dict, dtype=jnp.float32, use_flash: bool = True):
         """Build from a diffusers-style config dict (see
         ``ckpt/sd_inventory.py`` for the vendored x4-upscaler config)."""
         down_types = cfg.get("down_block_types", ())

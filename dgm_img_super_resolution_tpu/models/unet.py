@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from dgm_img_super_resolution_tpu.models.layers import (
     Block,
+    Conv1x1Pair,
     ConvTranspose2dTorch,
     Downsample,
     LinearAttention,
@@ -58,7 +59,8 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond, img_lr_up=None, *, cond_projected=False,
-                 up_folded=False, project_only=False, mode="full", enc_feats=None):
+                 up_folded=False, project_only=False, mode="full", enc_feats=None,
+                 pad_out=None):
         """x: (N,H,W,3) noisy residual; time: (N,); cond: (N,H/s,W/s,C_cond)
         channel-concat of the selected RRDB features; img_lr_up: (N,H,W,3).
 
@@ -84,6 +86,24 @@ class Unet(nn.Module):
         dims = [3] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
+
+        # Lane-padded sampler carry (diffusion/gaussian.py pad_carry_lanes):
+        # the sampler may hand x over with one extra all-zero channel so no
+        # C=3-minor tensor exists inside the T-step scan (the profiled cost
+        # of the C=3 layout round-trip was ~18% of the step — convert at
+        # 14 GiB/s, standalone pad, two f32 relayout copies). The padded x
+        # feeds the stem-fused chain kernel directly (which zero-pads the
+        # weights' input dim to match); every other consumer reads the true
+        # lanes via x_true; the final conv mirrors the padding on its output
+        # (pad_out) so ε and x stay lane-aligned for the carry update.
+        x_true = x
+        if mode != "decode" and not project_only and x is not None:
+            x_lanes = x.shape[-1]
+            if x_lanes == dims[0] + 1:
+                x_true = x[..., : dims[0]]
+                if pad_out is None:
+                    pad_out = self.out_dim == dims[0]
+        pad_out = bool(pad_out)
 
         if mode != "decode":
             if cond_projected:
@@ -141,8 +161,11 @@ class Unet(nn.Module):
                 # Stem-fused variant (down stage 0): the lane-starved 3→dim
                 # stem conv (~2 TFLOP/s standalone, docs/DESIGN.md "Thin-stem
                 # conv study") and the 3→dim 1×1 residual conv move inside
-                # the kernel — their outputs never round-trip HBM.
-                tv1, wa, ba, wr, br, wb, bb = rb1(x, t, parts="head_stem")
+                # the kernel — their outputs never round-trip HBM. A lane-
+                # padded x flows in unsliced (the kernel zero-pads the
+                # weights instead); only the param shapes read true lanes.
+                x_params = x[..., : dims[0]] if x.shape[-1] > dims[0] else x
+                tv1, wa, ba, wr, br, wb, bb = rb1(x_params, t, parts="head_stem")
                 tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
                 # The kernel derives its VMEM scratch dtype from x: cast to
                 # the compute dtype HERE (the non-stem path gets this for
@@ -154,6 +177,8 @@ class Unet(nn.Module):
                     x.astype(self.dtype), wa, ba, wr, br, tv1, tv2, wb, bb,
                     wc, bc, wd, bd, cond, _BC_ROWS, _l.CHAIN_INTERPRET,
                 )
+            if x.shape[-1] == dims[0] + 1:
+                x = x[..., : dims[0]]  # non-stem paths read the true lanes
             a_pre, tv1, r1, wb, bb = rb1(x, t, skip=skip, parts="head")
             tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
             return block_chain3(
@@ -182,7 +207,7 @@ class Unet(nn.Module):
                 if chain_ok(x, dim_out):
                     x = fused_pair(rb1, rb2, x, cond=cond_proj if i == 0 else None)
                 else:
-                    x = rb1(x, t)
+                    x = rb1(x_true if i == 0 else x, t)
                     x = rb2(x, t)
                     if i == 0:
                         x = x + cond_proj
@@ -238,7 +263,13 @@ class Unet(nn.Module):
             x = Upsample(self.dtype, name=f"up_{i}_upsample")(x)
 
         x = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(x)
-        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="final_conv")(x)
+        # Param-compatible with nn.Conv(out_dim, (1,1)) — same names, shapes,
+        # and init — but able to emit extra zero output lanes so ε matches a
+        # lane-padded carry (see pad_out above).
+        return Conv1x1Pair(
+            self.out_dim, dtype=self.dtype, name="final_conv",
+            pad_out_to=self.out_dim + 1 if pad_out else 0,
+        )(x)
 
     @staticmethod
     def select_cond_features(feas: list[jnp.ndarray]) -> jnp.ndarray:

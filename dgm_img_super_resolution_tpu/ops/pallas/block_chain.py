@@ -632,6 +632,13 @@ def block_chain3_stem_reference(
     from dgm_img_super_resolution_tpu.models.layers import reflect_conv3x3
 
     dtype = dtype or x.dtype
+    if x.shape[-1] > wa.shape[2]:
+        # lane-padded sampler carry (diffusion/gaussian.py pad_carry_lanes):
+        # zero-pad the stem weights' input dim so the dead x lanes multiply
+        # zeros — identical to the Pallas kernel's internal padding.
+        d = x.shape[-1] - wa.shape[2]
+        wa = jnp.pad(wa, ((0, 0), (0, 0), (0, d), (0, 0)))
+        wr = jnp.pad(wr, ((0, d), (0, 0)))
     a_pre = reflect_conv3x3(x, wa, ba, dtype=dtype)
     r1 = (
         jnp.einsum("bhwc,cd->bhwd", x.astype(dtype), wr.astype(dtype))
@@ -647,8 +654,9 @@ def _block_chain3_stem_pallas(
     x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None,
     *, block_rows: int = _BLOCK_ROWS, interpret: bool = False,
 ):
-    b, h, w, cin = x.shape
+    b, h, w, xc = x.shape
     c = wa.shape[-1]
+    cin = wa.shape[2]
     assert h % block_rows == 0 and block_rows % 2 == 0, (h, block_rows)
     assert wa.shape == (3, 3, cin, c), wa.shape
     assert wr.shape == (cin, c), wr.shape
@@ -660,11 +668,14 @@ def _block_chain3_stem_pallas(
 
     # zero-pad x (and the stem weights' input dim) 3→4 channels: every
     # in-kernel slice and dot stays 4-lane aligned; the pad channel is
-    # multiplied by zero weights so the math is unchanged.
+    # multiplied by zero weights so the math is unchanged. The sampler may
+    # hand x over already lane-padded (gaussian.py pad_carry_lanes — keeps
+    # any C=3-minor tensor out of the scan); then only the weights pad here.
     cp = 4
-    assert cin <= cp, cin
+    assert cin <= cp and xc in (cin, cp), (cin, xc)
+    if xc < cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - xc)))
     if cin < cp:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - cin)))
         wa = jnp.pad(wa, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
         wr = jnp.pad(wr, ((0, cp - cin), (0, 0)))
 

@@ -237,6 +237,37 @@ def test_ddim_encoder_propagation(tiny_diffusion):
     assert 0 < np.abs(np.asarray(ep) - np.asarray(base)).max() < 0.5
 
 
+def test_lane_padded_carry_equal(tiny_diffusion, monkeypatch):
+    """DGMSR_PAD_CARRY pads the sampler carry to 4 lanes for TPU layout
+    efficiency; lane 3 is identically zero (noise is drawn at 3 lanes and
+    zero-padded; the UNet final conv zero-pads its output), so the padded
+    samplers compute the SAME math on lanes 0–2 — across ancestral, DDIM
+    η∈{0,1}, and encoder-propagation paths. Per-step components are bitwise
+    equal when compiled alone; inside a compiled scan XLA fuses the 4-lane
+    body differently, so the chain is pinned at float-rounding tolerance
+    (~1e-6 observed over the 8-step tiny chain)."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(21)
+
+    runs = {
+        "anc": lambda: d.sample(params, lr, lr_up, key)[0],
+        "ddim0": lambda: d.ddim_sample(params, lr, lr_up, key, num_steps=4)[0],
+        "ddim1": lambda: d.ddim_sample(params, lr, lr_up, key, num_steps=4, eta=1.0)[0],
+        "encprop": lambda: d.ddim_sample(
+            params, lr, lr_up, key, num_steps=4, eta=1.0, enc_interval=2
+        )[0],
+    }
+    for name, fn in runs.items():
+        monkeypatch.setenv("DGMSR_PAD_CARRY", "0")
+        plain = np.asarray(fn())
+        monkeypatch.setenv("DGMSR_PAD_CARRY", "1")
+        padded = np.asarray(fn())
+        assert plain.shape == padded.shape == (1, 16, 16, 3), name
+        np.testing.assert_allclose(padded, plain, atol=1e-5, err_msg=name)
+
+
 def test_interpolate_runs(tiny_diffusion):
     d, params = tiny_diffusion
     x1 = jnp.zeros((1, 16, 16, 3))

@@ -22,7 +22,7 @@ from dgm_img_super_resolution_tpu.models.sd.pipeline import StableDiffusionUpsca
 
 BATCH = int(os.environ.get("SD_BATCH", "1"))
 ENC = int(os.environ.get("SD_ENC", "1"))  # >1: encoder propagation A/B
-FLASH = os.environ.get("SD_FLASH", "0") not in ("0", "false", "")
+FLASH = os.environ.get("SD_FLASH", "1") not in ("0", "false", "")
 STEPS = int(os.environ.get("SD_STEPS", "20"))
 
 try:
