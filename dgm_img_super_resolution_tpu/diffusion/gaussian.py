@@ -60,6 +60,32 @@ def pad_carry_lanes() -> int:
     return 0 if os.environ.get("DGMSR_PAD_CARRY", "1") in ("0", "false") else 4
 
 
+def flat_carry() -> bool:
+    """Carry the sampler scan state as (B, H, W·C) instead of (B, H, W, C).
+
+    Even with the carry lane-padded to 4 channels (:func:`pad_carry_lanes`),
+    the profiled op-point step (tools/profile_scan.py, ddim20/η=1/512² B=8)
+    still spent ~5.6 ms/step — 14% — on pure layout traffic: XLA lays the
+    C=4-minor f32 elementwise update out W-minor (``{2,3,1,0:T(4,128)}``,
+    512 W positions as lanes) while the scan carry and the UNet want
+    C-minor ``{3,2,1,0:T(8,128)}``, so every step paid two relayout copies
+    (1.6 + 1.5 ms at 38–42 GiB/s) plus a 2.4 ms convert at 19 GiB/s.
+
+    Flattening (W, C) into one 2048-wide minor dim makes the lane-dense
+    layout the only sensible choice for the update math; the 3D↔4D
+    reshapes land in the same memory order and fuse with the f32↔bf16
+    converts at the UNet boundary. Elementwise math is shape-agnostic, so
+    the flat sampler is exactly the lane-padded sampler (same per-element
+    operations, same noise stream — noise is drawn at the 4D true-channel
+    shape and reshaped); equality is pinned in tests/test_diffusion.py.
+
+    Measured (real v5e, op point ddim20/η=1/512² B=8, two A/B repeats):
+    8.57 → 9.65 img/s/chip (+12.5%), batch-8 p50 0.955 → 0.851 s, batch-1
+    p50 0.466 → 0.452 s. Default ON. Env: DGMSR_FLAT_CARRY=0 to disable.
+    """
+    return os.environ.get("DGMSR_FLAT_CARRY", "1") not in ("0", "false")
+
+
 def _lane_pad(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Zero-pad the trailing (channel) dim of x to n lanes (no-op if wider)."""
     if n <= x.shape[-1]:
@@ -67,12 +93,16 @@ def _lane_pad(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, n - x.shape[-1]),))
 
 
-def _lane_noise(rng: jax.Array, shape, true_c: int | None, dtype=jnp.float32):
+def _lane_noise(rng: jax.Array, shape, true_c: int | None, dtype=jnp.float32,
+                out_shape=None):
     """Gaussian noise drawn at the TRUE channel count, zero-padded to the
-    carry's lane count — keeps the random stream independent of padding."""
+    carry's lane count — keeps the random stream independent of padding.
+    ``out_shape`` reshapes the result (the flat-carry path draws at the 4D
+    image shape so the stream matches, then flattens to the carry shape)."""
     c = true_c or shape[-1]
     noise = jax.random.normal(rng, tuple(shape[:-1]) + (c,), dtype)
-    return _lane_pad(noise, shape[-1])
+    noise = _lane_pad(noise, shape[-1])
+    return noise if out_shape is None else noise.reshape(out_shape)
 
 
 def noise_like(rng: jax.Array, shape, repeat: bool = False) -> jnp.ndarray:
@@ -270,9 +300,10 @@ class GaussianDiffusion:
 
     # -------------------------------------------------------------- sampling
     def p_sample_from_pred(self, x, t, noise_pred, rng, clip_denoised: bool = True,
-                           noise_c: int | None = None):
+                           noise_c: int | None = None, noise_shape=None):
         mean, _, log_variance, x0 = self.p_mean_variance(x, t, noise_pred, clip_denoised)
-        noise = _lane_noise(rng, x.shape, noise_c, x.dtype)
+        noise = _lane_noise(rng, noise_shape or x.shape, noise_c, x.dtype,
+                            out_shape=x.shape if noise_shape else None)
         nonzero = (t > 0).astype(x.dtype).reshape(x.shape[0], *((1,) * (x.ndim - 1)))
         return mean + nonzero * jnp.exp(0.5 * log_variance) * noise, x0
 
@@ -312,18 +343,26 @@ class GaussianDiffusion:
         segmentation of the schedule reproduces the single-scan result."""
         b = x.shape[0]
         nc = self._true_c(x, img_lr_up)
+        s4 = x.shape
+        flat = flat_carry() and x.ndim == 4
+        if flat:
+            x = x.reshape(b, s4[1], s4[2] * s4[3])
 
         def step(x, ti):
             t = jnp.full((b,), ti, jnp.int32)
-            x_next, _ = self.p_sample(
-                params, x, t, cond, img_lr_up, jax.random.fold_in(rng_steps, ti),
-                cond_projected=True, noise_c=nc,
+            x4 = x.reshape(s4) if flat else x
+            eps = self._apply_denoise(
+                params, x4, t, cond, img_lr_up, True
+            ).astype(jnp.float32)
+            x_next, _ = self.p_sample_from_pred(
+                x, t, eps.reshape(x.shape), jax.random.fold_in(rng_steps, ti),
+                noise_c=nc, noise_shape=s4 if flat else None,
             )
             return x_next, None
 
         with jax.named_scope("sampler_scan"):
             x, _ = jax.lax.scan(step, x, ts)
-        return x
+        return x.reshape(s4) if flat else x
 
     def sample(self, params, img_lr, img_lr_up, rng, shape=None, save_intermediate=False):
         """Ancestral sampling, one ``lax.scan`` over all T steps.
@@ -371,7 +410,8 @@ class GaussianDiffusion:
         """The true channel count of a possibly lane-padded carry."""
         return img_lr_up.shape[-1] if img_lr_up is not None else x.shape[-1]
 
-    def _ddim_update(self, x, ti, tp, eps, eta, rng_steps, noise_c=None):
+    def _ddim_update(self, x, ti, tp, eps, eta, rng_steps, noise_c=None,
+                     noise_shape=None):
         """One DDIM x_t → x_prev update from a predicted ε (x0-clipped)."""
         acp = self.schedule.alphas_cumprod
         a_t = acp[ti]
@@ -386,7 +426,8 @@ class GaussianDiffusion:
             * jnp.sqrt(1.0 - a_t / a_prev)
         )
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
-        noise = _lane_noise(jax.random.fold_in(rng_steps, ti), x.shape, noise_c, x.dtype)
+        noise = _lane_noise(jax.random.fold_in(rng_steps, ti), noise_shape or x.shape,
+                            noise_c, x.dtype, out_shape=x.shape if noise_shape else None)
         return jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
 
     def ddim_segment(self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta=0.0):
@@ -397,16 +438,27 @@ class GaussianDiffusion:
         ``fold_in(rng_steps, t)``, so segmentation is result-invariant."""
         b = x.shape[0]
         nc = self._true_c(x, img_lr_up)
+        s4 = x.shape
+        flat = flat_carry() and x.ndim == 4
+        if flat:
+            x = x.reshape(b, s4[1], s4[2] * s4[3])
 
         def step(x, t_pair):
             ti, tp = t_pair
             t = jnp.full((b,), ti, jnp.int32)
-            eps = self._apply_denoise(params, x, t, cond, img_lr_up, True).astype(jnp.float32)
-            return self._ddim_update(x, ti, tp, eps, eta, rng_steps, nc), None
+            x4 = x.reshape(s4) if flat else x
+            eps = self._apply_denoise(
+                params, x4, t, cond, img_lr_up, True
+            ).astype(jnp.float32)
+            x_next = self._ddim_update(
+                x, ti, tp, eps.reshape(x.shape), eta, rng_steps, nc,
+                noise_shape=s4 if flat else None,
+            )
+            return x_next, None
 
         with jax.named_scope("ddim_scan"):
             x, _ = jax.lax.scan(step, x, (ts, ts_prev))
-        return x
+        return x.reshape(s4) if flat else x
 
     def ddim_segment_encprop(
         self, params, x, cond, img_lr_up, ts, ts_prev, rng_steps, eta, enc_interval
@@ -425,20 +477,28 @@ class GaussianDiffusion:
         pad_out = x.shape[-1] > nc
         tsg = ts.reshape(-1, K)
         tspg = ts_prev.reshape(-1, K)
+        s4 = x.shape
+        flat = flat_carry() and x.ndim == 4
+        if flat:
+            x = x.reshape(b, s4[1], s4[2] * s4[3])
 
         def group(x, t_pair):
             tg, tpg = t_pair
             t0 = jnp.full((b,), tg[0], jnp.int32)
-            enc = self._apply_encode(params, x, t0, cond, img_lr_up)
+            x4 = x.reshape(s4) if flat else x
+            enc = self._apply_encode(params, x4, t0, cond, img_lr_up)
             for j in range(K):
                 t = jnp.full((b,), tg[j], jnp.int32)
                 eps = self._apply_decode(params, enc, t, pad_out).astype(jnp.float32)
-                x = self._ddim_update(x, tg[j], tpg[j], eps, eta, rng_steps, nc)
+                x = self._ddim_update(
+                    x, tg[j], tpg[j], eps.reshape(x.shape), eta, rng_steps, nc,
+                    noise_shape=s4 if flat else None,
+                )
             return x, None
 
         with jax.named_scope("ddim_encprop_scan"):
             x, _ = jax.lax.scan(group, x, (tsg, tspg))
-        return x
+        return x.reshape(s4) if flat else x
 
     def ddim_sample(self, params, img_lr, img_lr_up, rng, num_steps=None, eta=0.0,
                     shape=None, enc_interval=1):

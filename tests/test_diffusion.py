@@ -268,6 +268,38 @@ def test_lane_padded_carry_equal(tiny_diffusion, monkeypatch):
         np.testing.assert_allclose(padded, plain, atol=1e-5, err_msg=name)
 
 
+def test_flat_carry_equal(tiny_diffusion, monkeypatch):
+    """DGMSR_FLAT_CARRY carries the scan state as (B,H,W·C) so the
+    elementwise update math gets a lane-dense minor dim (the profiled
+    {2,3,1,0}↔{3,2,1,0} relayout copies disappear). Elementwise math is
+    shape-agnostic and the noise stream is drawn at the 4D shape then
+    flattened, so the flat sampler equals the 4D one — across ancestral,
+    DDIM η∈{0,1}, encoder-propagation, and both PAD_CARRY settings (XLA
+    re-fusion rounding tolerance, as for the pad-carry pin)."""
+    d, params = tiny_diffusion
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 4, 3)) * 2 - 1
+    lr_up = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3)) * 2 - 1
+    key = jax.random.PRNGKey(22)
+
+    runs = {
+        "anc": lambda: d.sample(params, lr, lr_up, key)[0],
+        "ddim1": lambda: d.ddim_sample(params, lr, lr_up, key, num_steps=4, eta=1.0)[0],
+        "encprop": lambda: d.ddim_sample(
+            params, lr, lr_up, key, num_steps=4, eta=1.0, enc_interval=2
+        )[0],
+    }
+    for pad in ("0", "1"):
+        monkeypatch.setenv("DGMSR_PAD_CARRY", pad)
+        for name, fn in runs.items():
+            monkeypatch.setenv("DGMSR_FLAT_CARRY", "0")
+            plain = np.asarray(fn())
+            monkeypatch.setenv("DGMSR_FLAT_CARRY", "1")
+            flat = np.asarray(fn())
+            assert plain.shape == flat.shape == (1, 16, 16, 3), (name, pad)
+            np.testing.assert_allclose(flat, plain, atol=1e-5,
+                                       err_msg=f"{name} pad={pad}")
+
+
 def test_interpolate_runs(tiny_diffusion):
     d, params = tiny_diffusion
     x1 = jnp.zeros((1, 16, 16, 3))
