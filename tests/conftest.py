@@ -19,25 +19,23 @@ import jax  # noqa: E402
 # which overrides the env var — force CPU explicitly for the test session.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache: the suite is compile-dominated on this
-# 1-core host (sampler scans, train steps), and the cache cuts warm reruns
-# ~7× (measured 21.8 s → 3.2 s for the tiny sampler scan). Safe on CPU: the
-# cache is keyed on the full HLO + flags; the "machine feature" stderr notes
-# on load are spurious same-host AOT pseudo-feature mismatches.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache"),
-)
-# min_compile_time 10 s, not 1 s: full-suite runs intermittently SIGSEGV'd
-# inside jaxlib's cache-entry *deserializer* (compilation_cache.py
-# get_executable_and_time) when re-loading one of the small tiled-serve
-# executables written seconds earlier in the same process; the crash never
-# reproduced for the file standalone, against a warm cache, or with torch
-# preloaded, so it is a nondeterministic jaxlib serialize/deserialize race
-# on quick-compiling CPU executables. Excluding sub-10 s compiles keeps the
-# entries that actually pay (sampler scans, train steps) and removes the
-# churn of tiny entries that triggered the crash.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# Persistent XLA compilation cache: OFF by default. The suite is
+# compile-dominated on this 1-core host and the cache cuts warm reruns ~7×
+# (measured 21.8 s → 3.2 s for the tiny sampler scan) — but jaxlib 0.9.0's
+# cache-entry *deserializer* (compilation_cache.py get_executable_and_time)
+# intermittently SIGSEGVs re-loading an entry written earlier in the same
+# process (observed twice across rounds, both in full-suite runs, different
+# tests; never reproducible standalone — a nondeterministic jaxlib
+# serialize/deserialize race). Raising min_compile_time to 10 s shrank the
+# window but a round-5 full-suite run still crashed deserializing a large
+# (>10 s) sampler-scan entry, so the only robust default is no persistent
+# cache: a green suite matters more than warm-rerun speed. Opt back in for
+# local iteration with JAX_TEST_CACHE_DIR=/tmp/jax_test_cache (accepting
+# the rare crash + rerun).
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "")
+if _cache_dir and _cache_dir.lower() not in ("off", "0"):
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
