@@ -164,8 +164,8 @@ class ConvTranspose2dTorch(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x):
-        in_features = x.shape[-1]
+    def __call__(self, x, *, weights_only=False, c_in=None):
+        in_features = c_in if x is None else x.shape[-1]
         k, s, p = self.kernel_size, self.stride, self.padding
         kernel = self.param(
             "kernel",
@@ -173,6 +173,15 @@ class ConvTranspose2dTorch(nn.Module):
             (k, k, in_features, self.features),
             self.param_dtype,
         )
+        if weights_only:
+            # Fused-tail serving path (ops/pallas/tail_fuse.py): the ConvT
+            # runs inside the kernel; params/names unchanged.
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None
+            )
+            return kernel, bias
         variant = _upsample_variant()
         if (k, s, p, self.output_padding) == (4, 2, 1, 0) and variant != "dilated":
             bias = (
@@ -329,12 +338,51 @@ def _chain_channels() -> tuple[int, ...]:
     return _CHAIN_CHANNELS
 
 
+def chain_head_enabled(c_stream: int, dim_out: int) -> bool:
+    """Gate for the head-fused chain variant (``block_chain3_head``): folds
+    the virtual-concat head conv + 1×1 residual conv of an up stage into
+    the chain call. Default OFF — the round-5 in-scan A/B measured it
+    NEUTRAL alone (40.54 vs 40.40 ms/step) and a 0.46 ms REGRESSION on top
+    of the fused tail (39.20 vs 38.74): a pallas_call forces standard
+    {3,2,1,0} input layouts, so the boundary relayout copies don't
+    disappear — they move from a_pre/r1 (2×64ch) to x/skip (2×128ch) at
+    twice the bytes, offsetting the fused head conv's win (docs/DESIGN.md
+    "Head-fused chain study"). ``DGMSR_PALLAS_HEAD=1`` opts in for A/B
+    runs. Applies only where :func:`chain_eligible` already routed the
+    pair to the kernel; dim_out must be 64 (the rowpack mode)."""
+    if os.environ.get("DGMSR_PALLAS_HEAD", "0").lower() in ("", "0", "false"):
+        return False
+    return dim_out == 64 and c_stream % 64 == 0 and c_stream <= 128
+
+
 def chain_stem_enabled() -> bool:
     """Gate for the stem-fused chain variant (``block_chain3_stem``): folds
     the 3→dim stem conv + 1×1 residual conv of down stage 0 into the chain
     call. Opt out with ``DGMSR_PALLAS_STEM=0``. Applies only where
     :func:`chain_eligible` already routed the pair to the kernel."""
     return os.environ.get("DGMSR_PALLAS_STEM", "1").lower() not in ("", "0", "false")
+
+
+TAIL_INTERPRET = False  # tests set True to exercise the fused tail on CPU
+
+
+def tail_eligible(h: int, w: int, c: int) -> bool:
+    """Gate for the fused UNet-tail kernel (ops/pallas/tail_fuse.py):
+    Upsample ConvT + final Block + final 1×1 in one Pallas call. The
+    round-5 xprof attribution measured the XLA tail at ~5.9 ms of the
+    40 ms op-point step, mostly layout/HBM-bound (docs/DESIGN.md "Fused
+    tail kernel"). ``h``/``w``/``c`` are the PRE-upsample activation dims
+    (the last up stage's output). C=64 only — the in-kernel K-packs
+    lane-concat two C-wide slices into one 128-lane tile, same constraint
+    as the chain kernel's rowpack mode. Opt out with DGMSR_PALLAS_TAIL=0."""
+    if _PALLAS_FORCE_DISABLE:
+        return False
+    enabled = os.environ.get("DGMSR_PALLAS_TAIL", "1").lower() not in ("", "0", "false")
+    if not (enabled or TAIL_INTERPRET):
+        return False
+    if not (jax.default_backend() == "tpu" or TAIL_INTERPRET):
+        return False
+    return c == 64 and h % 4 == 0 and h >= 16 and w >= 128
 
 
 def chain_eligible(h: int, w: int, c: int) -> bool:
@@ -558,15 +606,19 @@ class ResnetBlock(nn.Module):
         """
         t = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp")(mish(time_emb))
         if parts == "head_stem":
-            assert skip is None and x.shape[-1] != self.dim_out
+            # weights for a fully-fused head: the stem variant (3-ch x, no
+            # skip) or the head variant (virtual-concat [x‖skip] pair) of
+            # the chain kernel run block1 AND the residual conv in-kernel.
+            c_in = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+            assert c_in != self.dim_out
             wa, ba = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
-                None, weights_only=True, c_in=x.shape[-1]
+                None, weights_only=True, c_in=c_in
             )
             wb, bb = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(
                 None, weights_only=True, c_in=self.dim_out
             )
             wr, br = Conv1x1Pair(self.dim_out, dtype=self.dtype, name="res_conv")(
-                None, weights_only=True, c_in=x.shape[-1]
+                None, weights_only=True, c_in=c_in
             )
             return t, wa, ba, wr, br, wb, bb
         if parts == "head":
@@ -600,10 +652,11 @@ class Upsample(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, weights_only=False, c_in=None):
+        feats = c_in if x is None else x.shape[-1]
         return ConvTranspose2dTorch(
-            x.shape[-1], 4, 2, 1, dtype=self.dtype, name="conv"
-        )(x)
+            feats, 4, 2, 1, dtype=self.dtype, name="conv"
+        )(x, weights_only=weights_only, c_in=c_in)
 
 
 class Downsample(nn.Module):

@@ -148,6 +148,30 @@ class Unet(nn.Module):
 
             dim_out = rb1.dim_out
             if (
+                skip is not None
+                and x.shape == skip.shape
+                and _l.chain_head_enabled(x.shape[-1], dim_out)
+            ):
+                # Head-fused variant (the last up stage): the virtual-concat
+                # head conv and the 1×1 residual conv run inside the chain
+                # call, reading x/skip directly — removes the two split XLA
+                # head convs, the res-conv dots, and ~1.4 ms/step of layout
+                # copies at the kernel boundary (round-5 profile;
+                # docs/DESIGN.md "Head-fused chain").
+                from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
+                    block_chain3_head,
+                )
+
+                tv1, wa, ba, wr, br, wb, bb = rb1(
+                    x, t, skip=skip, parts="head_stem"
+                )
+                tv2, wc, bc, wd, bd = rb2(None, t, parts="tail")
+                return block_chain3_head(
+                    x.astype(self.dtype), skip.astype(self.dtype),
+                    wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+                    _BC_ROWS, _l.CHAIN_INTERPRET,
+                )
+            if (
                 x.shape[-1] <= 4 and skip is None and _l.chain_stem_enabled()
                 and dim_out == 64
             ):
@@ -252,6 +276,7 @@ class Unet(nn.Module):
         # join is a *virtual* concat: res1's convs read (x, skip) as a pair,
         # saving a full-width concat buffer round-trip per stage in the
         # T-step sampling scan (see layers.ResnetBlock).
+        n_up = len(in_out) - 1
         for i, (dim_in, _) in enumerate(reversed(in_out[1:])):
             rb1 = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res1")
             rb2 = ResnetBlock(dim_in, self.dim, self.groups, self.dtype, name=f"up_{i}_res2")
@@ -260,6 +285,43 @@ class Unet(nn.Module):
             else:
                 x = rb1(x, t, skip=h.pop())
                 x = rb2(x, t)
+            if i == n_up - 1:
+                # Fused UNet tail (ops/pallas/tail_fuse.py): the last
+                # Upsample's ConvTranspose, the final Block's reflect
+                # conv+Mish, and the final 1×1 run as ONE Pallas call —
+                # the round-5 profile measured the XLA composition at
+                # ~5.9 ms/step of layout/HBM-bound ops because both
+                # (B,2H,2W,64) intermediates round-trip HBM in awkward
+                # layouts (docs/DESIGN.md "Fused tail kernel").
+                from dgm_img_super_resolution_tpu.models import layers as _l
+
+                if (
+                    not self.is_initializing()
+                    and self.groups == 0
+                    and _l.tail_eligible(x.shape[1], x.shape[2], dim_in)
+                ):
+                    from dgm_img_super_resolution_tpu.ops.pallas.tail_fuse import (
+                        tail_fuse,
+                    )
+
+                    kt, bt = Upsample(self.dtype, name=f"up_{i}_upsample")(
+                        None, weights_only=True, c_in=dim_in
+                    )
+                    wfk, bfk = Block(
+                        self.dim, self.groups, dtype=self.dtype, name="final_block"
+                    )(None, weights_only=True, c_in=dim_in)
+                    wo, bo = Conv1x1Pair(
+                        self.out_dim, dtype=self.dtype, name="final_conv"
+                    )(None, weights_only=True, c_in=self.dim)
+                    if pad_out:
+                        # dead zero ε lanes for the lane-padded carry —
+                        # mirrors Conv1x1Pair(pad_out_to).
+                        wo = jnp.pad(wo, ((0, 0), (0, 1)))
+                        bo = jnp.pad(bo, ((0, 1),))
+                    return tail_fuse(
+                        x.astype(self.dtype), kt, bt, wfk, bfk, wo, bo,
+                        _l.TAIL_INTERPRET,
+                    )
             x = Upsample(self.dtype, name=f"up_{i}_upsample")(x)
 
         x = Block(self.dim, self.groups, dtype=self.dtype, name="final_block")(x)

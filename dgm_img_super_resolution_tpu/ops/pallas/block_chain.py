@@ -776,3 +776,342 @@ def _stem_bwd(block_rows, interpret, res, g):
 
 
 block_chain3_stem.defvjp(_stem_fwd, _stem_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head-fused variant (the last up stage): the virtual-concat head conv
+# (3×3, [x‖skip] 2C→C — rb1.block1 over the skip join) and the 1×1
+# residual conv (2C→C) move INSIDE the chain call. Round-5 xprof
+# attribution of the op-point step measured the XLA head region of up
+# stage 2 at ~3.9 ms/step: the conv splits into two per-stream convs
+# (0.82 ms each), the res-conv dots (0.56 ms), plus ~1.4 ms of pure
+# layout copies and ~1.0 ms of add fusions feeding the chain kernel's
+# a_pre/r1 streams at {3,2,1,0} from conv outputs laid out {3,0,2,1}.
+# In-kernel the head is 6 K-block passes per stream per row pair —
+# (W,2C)@(2C,2C) dots with K already full at C_stream=128, no lane
+# concats — and r1 folds into conv_b's epilogue as two (W,C_s)@(C_s,C)
+# dots per row; the boundary copies disappear because the kernel reads
+# x/skip directly (the layouts XLA already produces them in).
+#
+# Pipeline = the stem variant's 4-lag structure with two input streams:
+# step j assembles x & skip block j (3-slot rolling scratches), conv_a
+# computes h1 block j−1, conv_b y1 block j−2 (r1 epilogue reads the lag-2
+# x/skip content rows), conv_c h2 block j−3, conv_d the output block j−4.
+
+
+def _kernel_head(
+    x_ref, s_ref, tv1_ref, tv2_ref, wax_ref, was_ref, ba_ref,
+    wrx_ref, wrs_ref, br_ref,
+    wb_ref, bb_ref, wc_ref, bc_ref, wd_ref, bd_ref,
+    o_ref, x_s, s_s, h1_s, y1_s, h2_s,
+    *, rows: int, width: int, c: int, cs: int, out_dtype,
+):
+    nsteps = pl.num_programs(1)  # nb + 4
+    nb = nsteps - 4
+    j = pl.program_id(1)
+
+    def _col_border(scr, slot, row_lo, row_hi):
+        scr[slot, row_lo:row_hi, 0, :] = scr[slot, row_lo:row_hi, 2, :]
+        scr[slot, row_lo:row_hi, width + 1, :] = scr[slot, row_lo:row_hi, width - 1, :]
+
+    def _stream_matmul(scratch, slot, w_ref_):
+        """Row-pair rowpack passes over one (rows+2, W+2, cs) stream slot:
+        two K=cs dots per K-block (no lane concat — cs is a full tile)."""
+        accs = []
+        for r in range(rows // 2):
+            acc = jnp.zeros((width, 2 * c), jnp.float32)
+            for p in range(6):
+                dx = p // 2
+                dy0 = (p % 2) * 2
+                base = 2 * r + dy0
+                xa = scratch[slot, base, dx : dx + width, :]
+                xb = scratch[slot, base + 1, dx : dx + width, :]
+                acc = acc + jnp.dot(
+                    xa, w_ref_[p, :cs], preferred_element_type=jnp.float32
+                )
+                acc = acc + jnp.dot(
+                    xb, w_ref_[p, cs:], preferred_element_type=jnp.float32
+                )
+            accs.append(acc)
+        return accs
+
+    # ---- stage X: assemble x & skip block j into slot j%3 (active j < nb).
+    in_cur = jax.lax.rem(j, 3)
+    in_prev = jax.lax.rem(j + 2, 3)  # (j-1) % 3
+
+    @pl.when(j < nb)
+    def _assemble():
+        for scr, ref in ((x_s, x_ref), (s_s, s_ref)):
+            scr[in_cur, 1 : rows + 1, 1 : width + 1, :] = ref[0]
+
+            @pl.when(j > 0)
+            def _():
+                scr[in_cur, 0, :, :] = scr[in_prev, rows, :, :]
+
+            @pl.when(j == 0)
+            def _():
+                # image top: row −1 ≡ row 1 = this block's second row.
+                scr[in_cur, 0, 1 : width + 1, :] = ref[0, 1]
+
+            _col_border(scr, in_cur, 0, rows + 1)
+
+    # ---- stage A: head conv for block j−1 → h1 (active 1 ≤ j ≤ nb).
+    h1_cur = jax.lax.rem(j + 1, 2)  # (j-1) % 2
+    h1_prev = 1 - h1_cur
+
+    @pl.when(jnp.logical_and(j >= 1, j <= nb))
+    def _conv_a():
+        # complete block j−1's bottom halo in both streams.
+        @pl.when(j <= nb - 1)
+        def _():
+            for scr, ref in ((x_s, x_ref), (s_s, s_ref)):
+                scr[in_prev, rows + 1, 1 : width + 1, :] = ref[0, 0]
+                scr[in_prev, rows + 1, 0, :] = ref[0, 0, 1, :]
+                scr[in_prev, rows + 1, width + 1, :] = ref[0, 0, width - 2, :]
+
+        @pl.when(j == nb)
+        def _():
+            for scr in (x_s, s_s):
+                scr[in_prev, rows + 1, :, :] = scr[in_prev, rows - 1, :, :]
+
+        ba2 = jnp.concatenate([ba_ref[0], ba_ref[0]]).astype(jnp.float32)
+        tv1 = tv1_ref[0, 0].astype(jnp.float32)
+        tv1cat = jnp.concatenate([tv1, tv1])
+        accs_x = _stream_matmul(x_s, in_prev, wax_ref)
+        accs_s = _stream_matmul(s_s, in_prev, was_ref)
+        for r in range(rows // 2):
+            acc = accs_x[r] + accs_s[r]
+            h = (_mish_f32(acc + ba2) + tv1cat).astype(h1_s.dtype)
+            h1_s[h1_cur, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+            h1_s[h1_cur, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        @pl.when(j > 1)
+        def _():
+            h1_s[h1_cur, 0, :, :] = h1_s[h1_prev, rows, :, :]
+
+        @pl.when(j == 1)
+        def _():
+            h1_s[h1_cur, 0, 1 : width + 1, :] = h1_s[h1_cur, 2, 1 : width + 1, :]
+
+        _col_border(h1_s, h1_cur, 0, rows + 1)
+
+    # ---- stage B: conv_b for h1 block j−2 → y1 (active 2 ≤ j ≤ nb+1).
+    @pl.when(jnp.logical_and(j >= 2, j <= nb + 1))
+    def _conv_b():
+        h1_rd = jax.lax.rem(j, 2)  # (j-2) % 2
+        @pl.when(j <= nb)
+        def _():
+            h1_s[h1_rd, rows + 1, :, :] = h1_s[1 - h1_rd, 1, :, :]
+
+        @pl.when(j == nb + 1)
+        def _():
+            h1_s[h1_rd, rows + 1, :, :] = h1_s[h1_rd, rows - 1, :, :]
+
+        y1_slot = jax.lax.rem(j - 2, 3)
+        in_rd = jax.lax.rem(j + 1, 3)  # (j-2) % 3: r1's input rows
+        bias2 = jnp.concatenate([bb_ref[0], bb_ref[0]]).astype(jnp.float32)
+        br2 = jnp.concatenate([br_ref[0], br_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h1_s, h1_rd, wb_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            r1_rows = []
+            for row in (1 + 2 * r, 2 + 2 * r):
+                xa = x_s[in_rd, row, 1 : width + 1, :]
+                sa = s_s[in_rd, row, 1 : width + 1, :]
+                r1_rows.append(
+                    jnp.dot(xa, wrx_ref[0], preferred_element_type=jnp.float32)
+                    + jnp.dot(sa, wrs_ref[0], preferred_element_type=jnp.float32)
+                )
+            r1cat = jnp.concatenate(r1_rows, axis=-1) + br2
+            y = (_mish_f32(acc + bias2) + r1cat).astype(y1_s.dtype)
+            y1_s[y1_slot, 1 + 2 * r, 1 : width + 1, :] = y[:, :c]
+            y1_s[y1_slot, 2 + 2 * r, 1 : width + 1, :] = y[:, c:]
+        @pl.when(j > 2)
+        def _():
+            y1_s[y1_slot, 0, :, :] = y1_s[jax.lax.rem(j - 3, 3), rows, :, :]
+
+        @pl.when(j == 2)
+        def _():
+            y1_s[y1_slot, 0, 1 : width + 1, :] = y1_s[y1_slot, 2, 1 : width + 1, :]
+
+        _col_border(y1_s, y1_slot, 0, rows + 1)
+        @pl.when(j > 2)
+        def _():
+            y1_s[jax.lax.rem(j - 3, 3), rows + 1, :, :] = y1_s[y1_slot, 1, :, :]
+
+    @pl.when(j == nb + 2)
+    def _y1_last_halo():
+        s = jax.lax.rem(nb - 1, 3)
+        y1_s[s, rows + 1, :, :] = y1_s[s, rows - 1, :, :]
+
+    # ---- stage C: conv_c for y1 block j−3 → h2 (active 3 ≤ j ≤ nb+2).
+    @pl.when(jnp.logical_and(j >= 3, j <= nb + 2))
+    def _conv_c():
+        h2_slot = jax.lax.rem(j + 1, 2)  # (j-3) % 2
+        y1_rd = jax.lax.rem(j, 3)  # (j-3) % 3
+        bias2 = jnp.concatenate([bc_ref[0], bc_ref[0]]).astype(jnp.float32)
+        tv2 = tv2_ref[0, 0].astype(jnp.float32)
+        tv2cat = jnp.concatenate([tv2, tv2])
+        accs = _rowpack_matmul(y1_s, y1_rd, wc_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            h = (_mish_f32(acc + bias2) + tv2cat).astype(h2_s.dtype)
+            h2_s[h2_slot, 1 + 2 * r, 1 : width + 1, :] = h[:, :c]
+            h2_s[h2_slot, 2 + 2 * r, 1 : width + 1, :] = h[:, c:]
+        @pl.when(j > 3)
+        def _():
+            h2_s[h2_slot, 0, :, :] = h2_s[1 - h2_slot, rows, :, :]
+
+        @pl.when(j == 3)
+        def _():
+            h2_s[h2_slot, 0, 1 : width + 1, :] = h2_s[h2_slot, 2, 1 : width + 1, :]
+
+        _col_border(h2_s, h2_slot, 0, rows + 1)
+        @pl.when(j > 3)
+        def _():
+            h2_s[1 - h2_slot, rows + 1, :, :] = h2_s[h2_slot, 1, :, :]
+
+    @pl.when(j == nb + 3)
+    def _h2_last_halo():
+        s = jax.lax.rem(nb - 1, 2)
+        h2_s[s, rows + 1, :, :] = h2_s[s, rows - 1, :, :]
+
+    # ---- stage D: conv_d for h2 block j−4 → out (active j ≥ 4).
+    @pl.when(j >= 4)
+    def _conv_d():
+        h2_rd = jax.lax.rem(j, 2)  # (j-4) % 2
+        y1_rd = jax.lax.rem(j + 2, 3)  # (j-4) % 3
+        bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
+        accs = _rowpack_matmul(h2_s, h2_rd, wd_ref, rows, width, c)
+        for r, acc in enumerate(accs):
+            ya = y1_s[y1_rd, 1 + 2 * r, 1 : width + 1, :]
+            yb = y1_s[y1_rd, 2 + 2 * r, 1 : width + 1, :]
+            ycat = jnp.concatenate([ya, yb], axis=-1).astype(jnp.float32)
+            out = (_mish_f32(acc + bias2) + ycat).astype(out_dtype)
+            o_ref[0, 2 * r, :, :] = out[:, :c]
+            o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+
+
+def block_chain3_head_reference(
+    x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, *, dtype=None
+):
+    """XLA reference composition (also the custom-VJP backward path): the
+    virtual-concat head conv + 1×1 residual conv + the 3-conv chain."""
+    from dgm_img_super_resolution_tpu.models.layers import reflect_conv3x3
+
+    dtype = dtype or x.dtype
+    cx = x.shape[-1]
+    a_pre = reflect_conv3x3(x, wa[:, :, :cx], ba, dtype=dtype) + reflect_conv3x3(
+        skip, wa[:, :, cx:], None, dtype=dtype
+    )
+    r1 = (
+        jnp.einsum("bhwc,cd->bhwd", x.astype(dtype), wr[:cx].astype(dtype))
+        + jnp.einsum("bhwc,cd->bhwd", skip.astype(dtype), wr[cx:].astype(dtype))
+        + br.astype(dtype)
+    )
+    return block_chain3_reference(
+        a_pre, r1, tv1, tv2, wb, bb, wc, bc, wd, bd, None, dtype=dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _block_chain3_head_pallas(
+    x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+    *, block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    b, h, w, cs = x.shape
+    assert skip.shape == x.shape, (skip.shape, x.shape)
+    c = wa.shape[-1]
+    assert wa.shape == (3, 3, 2 * cs, c), wa.shape
+    assert wr.shape == (2 * cs, c), wr.shape
+    for k in (wb, wc, wd):
+        assert k.shape == (3, 3, c, c), k.shape
+    assert c == 64, c  # rowpack mode only (2c fills the 128 lanes)
+    assert h % block_rows == 0 and block_rows % 2 == 0, (h, block_rows)
+    dtype = x.dtype
+    nb = h // block_rows
+
+    wax_p = pack_weights(wa[:, :, :cs].astype(jnp.float32)).astype(dtype)
+    was_p = pack_weights(wa[:, :, cs:].astype(jnp.float32)).astype(dtype)
+    wbcd_p = [pack_weights(k.astype(jnp.float32)).astype(dtype) for k in (wb, wc, wd)]
+    biases = [v.astype(jnp.float32).reshape(1, c) for v in (ba, br, bb, bc, bd)]
+    wrx_p = wr[:cs].astype(dtype).reshape(1, cs, c)
+    wrs_p = wr[cs:].astype(dtype).reshape(1, cs, c)
+    tvs = [v.astype(jnp.float32).reshape(b, 1, c) for v in (tv1, tv2)]
+
+    kern = functools.partial(
+        _kernel_head, rows=block_rows, width=w, c=c, cs=cs, out_dtype=dtype,
+    )
+
+    def stream(off, ch):
+        return pl.BlockSpec(
+            (1, block_rows, w, ch),
+            lambda i, j, off=off: (i, jnp.clip(j - off, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        stream(0, cs), stream(0, cs),  # x, skip
+        vec, vec,                      # tv1, tv2
+        full, full, full,              # wa x/skip packs, ba
+        full, full, full,              # wr x/skip, br
+        full, full, full, full, full, full,  # wb/bb, wc/bc, wd/bd
+    ]
+    inputs = [x, skip, tvs[0], tvs[1], wax_p, was_p, biases[0],
+              wrx_p, wrs_p, biases[1],
+              wbcd_p[0], biases[2], wbcd_p[1], biases[3], wbcd_p[2], biases[4]]
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, nb + 4),
+        in_specs=in_specs,
+        out_specs=stream(4, c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, block_rows + 2, w + 2, cs), dtype),  # x
+            pltpu.VMEM((3, block_rows + 2, w + 2, cs), dtype),  # skip
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h1
+            pltpu.VMEM((3, block_rows + 2, w + 2, c), dtype),   # y1
+            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * (2 * 12 * cs * 2 * c + 3 * 12 * c * 2 * c
+                                   + 2 * cs * c),
+            bytes_accessed=b * h * w * (2 * cs + c) * dtype.itemsize,
+            transcendentals=4 * b * h * w * c,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def block_chain3_head(
+    x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+    block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    """Head-fused ResnetBlock-pair chain (the last up stage — see section
+    docstring above). ``x``/``skip``: (B,H,W,C_s) post-upsample activation
+    and the down-path skip (the virtual concat pair); ``wa``/``ba``: the
+    2C_s→C head reflect-conv params; ``wr``/``br``: the 2C_s→C 1×1
+    residual-conv params; the rest as :func:`block_chain3`. Differentiable
+    via the XLA reference composition."""
+    return _block_chain3_head_pallas(
+        x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+        block_rows=block_rows, interpret=interpret,
+    )
+
+
+def _head_fwd(x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+              block_rows, interpret):
+    out = block_chain3_head(
+        x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd,
+        block_rows, interpret,
+    )
+    return out, (x, skip, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd)
+
+
+def _head_bwd(block_rows, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: block_chain3_head_reference(*a), *res)
+    return vjp(g)
+
+
+block_chain3_head.defvjp(_head_fwd, _head_bwd)

@@ -163,3 +163,65 @@ def test_chain_grad_flows_via_reference(rng):
     # the comparison is relative-only with a small float slack
     for gk, gr in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=1e-2)
+
+
+# ---- head-fused variant (block_chain3_head) --------------------------------
+
+from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (  # noqa: E402
+    block_chain3_head,
+    block_chain3_head_reference,
+)
+
+
+def _head_inputs(rng, b=1, h=16, w=128, cs=64, c=64, dtype=jnp.float32):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), dtype)  # noqa: E731
+    return dict(
+        x=r(b, h, w, cs), skip=r(b, h, w, cs),
+        wa=r(3, 3, 2 * cs, c) * 0.05, ba=r(c) * 0.1,
+        wr=r(2 * cs, c) * 0.05, br=r(c) * 0.1,
+        tv1=r(b, c) * 0.1, tv2=r(b, c) * 0.1,
+        wb=r(3, 3, c, c) * 0.05, bb=r(c) * 0.1,
+        wc=r(3, 3, c, c) * 0.05, bc=r(c) * 0.1,
+        wd=r(3, 3, c, c) * 0.05, bd=r(c) * 0.1,
+    )
+
+
+@pytest.mark.parametrize("cs,h,w", [(64, 16, 128), (128, 8, 136)])
+def test_head_chain_matches_reference_f32(rng, cs, h, w):
+    a = _head_inputs(rng, cs=cs, h=h, w=w)
+    want = block_chain3_head_reference(
+        a["x"], a["skip"], a["wa"], a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+        a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"],
+    )
+    got = block_chain3_head(
+        a["x"], a["skip"], a["wa"], a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+        a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"], 4, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_head_chain_grad_flows_via_reference(rng):
+    a = _head_inputs(rng, h=8)
+
+    def loss_kernel(x, wa):
+        return jnp.sum(
+            block_chain3_head(
+                x, a["skip"], wa, a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+                a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"], 4, True,
+            )
+            ** 2
+        )
+
+    def loss_ref(x, wa):
+        return jnp.sum(
+            block_chain3_head_reference(
+                x, a["skip"], wa, a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+                a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"],
+            )
+            ** 2
+        )
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1))(a["x"], a["wa"])
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(a["x"], a["wa"])
+    for gk, gr in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=1e-2)

@@ -160,3 +160,15 @@ def test_chain_eligible_gate(monkeypatch):
     monkeypatch.delenv("DGMSR_PALLAS_FUSED", raising=False)
     monkeypatch.setattr(layers.jax, "default_backend", lambda: "cpu")
     assert not layers.chain_eligible(512, 512, 64)
+
+
+def test_fused_unet_head_variant_matches_normal(rng, monkeypatch):
+    """Opt-in head-fused chain (DGMSR_PALLAS_HEAD=1 — default OFF per the
+    measured in-scan regression, docs/DESIGN.md "Head-fused chain study")
+    routes the up-stage pair through block_chain3_head and must match."""
+    model, params, args = _build(rng)
+    want = model.apply(params, *args)
+    monkeypatch.setenv("DGMSR_PALLAS_HEAD", "1")
+    monkeypatch.setattr(layers, "CHAIN_INTERPRET", True)
+    got = model.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
