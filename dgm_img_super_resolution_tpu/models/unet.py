@@ -141,10 +141,12 @@ class Unet(nn.Module):
         def fused_pair(rb1, rb2, x, skip=None, cond=None):
             from dgm_img_super_resolution_tpu.models import layers as _l
             from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
-                _BLOCK_ROWS as _BC_ROWS,
                 block_chain3,
                 block_chain3_stem,
+                chain_block_rows,
             )
+
+            _BC_ROWS = chain_block_rows(x.shape[1])
 
             dim_out = rb1.dim_out
             if (

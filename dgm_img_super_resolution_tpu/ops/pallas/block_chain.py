@@ -50,6 +50,21 @@ from dgm_img_super_resolution_tpu.ops.pallas.conv3x3 import pack_weights
 _BLOCK_ROWS = 4
 
 
+def chain_block_rows(h: int | None = None) -> int:
+    """Output rows per grid step (A/B override: ``DGMSR_CHAIN_ROWS``).
+    When ``h`` is given, falls back to ``_BLOCK_ROWS`` unless the override
+    divides it (the kernels require h % rows == 0 and rows % 2 == 0)."""
+    import os
+
+    env = os.environ.get("DGMSR_CHAIN_ROWS")
+    if not env:
+        return _BLOCK_ROWS
+    rows = int(env)
+    if rows % 2 or (h is not None and h % rows):
+        return _BLOCK_ROWS
+    return rows
+
+
 def _mish_f32(x):
     x = x.astype(jnp.float32)
     return x * jnp.tanh(jax.nn.softplus(x))

@@ -65,8 +65,8 @@ def _mish_f32(x):
 
 
 def _kernel(
-    x_ref, kt_ref, bt_ref, wf2_ref, wf1_ref, bf_ref, wo_ref, bo_ref, o_ref,
-    x_s, ph0_s, ph1_s,
+    x_ref, kt_ref, bt_ref, wf2_ref, wf1p_ref, wf1s_ref, bf_ref, wo_ref, bo_ref,
+    o_ref, x_s, ph0_s, ph1_s,
     *, width: int, c: int, cout: int, out_dtype,
 ):
     """Grid (B, nb+1). width = pre-upsample W; c = 64; cout = final lanes
@@ -106,28 +106,37 @@ def _kernel(
         # k odd → even out row (a=0): ky=0 (lower), 2 (upper). The K-pack
         # concatenates the TWO ROWS (same column offset — Mosaic requires
         # concat operands to share their non-concat-dim offsets; packing
-        # the two dx taps would mix col offsets b and b+1).
+        # the two dx taps would mix col offsets b and b+1). The middle taps
+        # (b=0,dx=1) and (b=1,dx=0) share their lhs (col slice 1..W+1) and
+        # N-pack into ONE full (W,2C)@(2C,2C) dot serving both phases.
         for P in range(rows):
+            lhs = [
+                jnp.concatenate(
+                    [
+                        x_s[x_cur, P, o : o + width, :],
+                        x_s[x_cur, P + 1, o : o + width, :],
+                    ],
+                    axis=-1,
+                )
+                for o in range(3)
+            ]
             for half in range(2):  # half=0 → k=2P (a=1); half=1 → k=2P+1 (a=0)
                 k = 2 * P + half
-                for b in range(2):
-                    acc = jnp.zeros((width, c), jnp.float32)
-                    for dx in range(2):
-                        lhs = jnp.concatenate(
-                            [
-                                x_s[x_cur, P, b + dx : b + dx + width, :],
-                                x_s[x_cur, P + 1, b + dx : b + dx + width, :],
-                            ],
-                            axis=-1,
-                        )
-                        acc = acc + jnp.dot(
-                            lhs, kt_ref[4 * half + 2 * b + dx],
-                            preferred_element_type=jnp.float32,
-                        )
-                    # phase scratch: band content rows 0..7, cols 1..W.
-                    phases[b][ph_cur, k, 1 : width + 1, :] = (acc + bt).astype(
-                        ph0_s.dtype
-                    )
+                mid = jnp.dot(
+                    lhs[1], kt_ref[3 * half + 1],
+                    preferred_element_type=jnp.float32,
+                )
+                acc0 = mid[:, :c] + jnp.dot(
+                    lhs[0], kt_ref[3 * half][:, :c],
+                    preferred_element_type=jnp.float32,
+                )
+                acc1 = mid[:, c:] + jnp.dot(
+                    lhs[2], kt_ref[3 * half + 2][:, :c],
+                    preferred_element_type=jnp.float32,
+                )
+                # phase scratch: band content rows 0..7, cols 1..W.
+                ph0_s[ph_cur, k, 1 : width + 1, :] = (acc0 + bt).astype(ph0_s.dtype)
+                ph1_s[ph_cur, k, 1 : width + 1, :] = (acc1 + bt).astype(ph0_s.dtype)
 
         # Column reflect halos of the 512² image: ups col −1 ≡ ups col 1
         # (phase1 m=0 → phase1 low halo = its col-1 content); ups col 2W ≡
@@ -155,19 +164,26 @@ def _kernel(
         def _():
             # last band: out row 2H−1 (odd, a=1, i=H−1) reads x rows H−1 and
             # H — the latter is the zero pad, so only the ky=1 (lower-row)
-            # half of each packed rhs applies: plain (W,C)@(C,C) dots.
+            # top half of each half=0 pack applies.
             bt_ = bt_ref[0].astype(jnp.float32)
-            for b in range(2):
-                acc = jnp.zeros((width, c), jnp.float32)
-                for dx in range(2):
-                    acc = acc + jnp.dot(
-                        x_s[x_cur, rows, b + dx : b + dx + width, :],
-                        kt_ref[2 * b + dx, :c],  # half=0 pack, lower row = ky 1
-                        preferred_element_type=jnp.float32,
-                    )
-                phases[b][ph_cur, rows * 2, 1 : width + 1, :] = (acc + bt_).astype(
-                    ph0_s.dtype
-                )
+            mid = jnp.dot(
+                x_s[x_cur, rows, 1 : 1 + width, :], kt_ref[1, :c],
+                preferred_element_type=jnp.float32,
+            )
+            acc0 = mid[:, :c] + jnp.dot(
+                x_s[x_cur, rows, 0:width, :], kt_ref[0, :c, :c],
+                preferred_element_type=jnp.float32,
+            )
+            acc1 = mid[:, c:] + jnp.dot(
+                x_s[x_cur, rows, 2 : 2 + width, :], kt_ref[2, :c, :c],
+                preferred_element_type=jnp.float32,
+            )
+            ph0_s[ph_cur, rows * 2, 1 : width + 1, :] = (acc0 + bt_).astype(
+                ph0_s.dtype
+            )
+            ph1_s[ph_cur, rows * 2, 1 : width + 1, :] = (acc1 + bt_).astype(
+                ph0_s.dtype
+            )
             ph1_s[ph_cur, rows * 2, 0, :] = ph1_s[ph_cur, rows * 2, 1, :]
             ph0_s[ph_cur, rows * 2, width + 1, :] = ph0_s[ph_cur, rows * 2, width, :]
             # image bottom: out row 2H (band row 9) ≡ out row 2H−2 (row 7).
@@ -182,42 +198,70 @@ def _kernel(
         bov = bo_ref[0].astype(jnp.float32)
         s = 1 - jax.lax.rem(j, 2)  # slot (j−1) % 2
         # Tap pairing chosen so every lane-concat's operands share the same
-        # column offset (a Mosaic requirement): both phases K-pack
-        # (ph0[m], ph1[m]) — scratch col offset 1 in both buffers — and the
-        # remaining tap is a plain single dot.
+        # column offset (a Mosaic requirement), and N/K-packed so MXU passes
+        # are as full as possible (an N=64 or N=4 dot occupies a full
+        # 128-wide MXU slot — the first version's 16 per-phase 1×1 dots and
+        # 12 half-N conv dots per block were ~40% of the kernel's slots):
+        #   · the (ph0[m]‖ph1[m]) K-pack is the SAME lhs for both phases →
+        #     ONE (W,2C)@(2C,2C) dot computes both phases' two middle taps
+        #     (rhs = [p0-pack | p1-pack], output split at C);
+        #   · each phase's remaining single taps K-pack across dy (same
+        #     column offset, different rows): dy 0,1 packed + dy 2 single;
+        #   · the 1×1 packs both phases: (y0‖y1) @ blockdiag(wo, wo).
         #   p=0: wf[dy,0]·ph1[m−1] + [wf[dy,1]·ph0[m] + wf[dy,2]·ph1[m]]
         #   p=1: [wf[dy,0]·ph0[m] + wf[dy,1]·ph1[m]] + wf[dy,2]·ph0[m+1]
         for r in range(2 * rows):
-            outs = []
-            for p in range(2):
-                acc = jnp.zeros((width, c), jnp.float32)
-                for dy in range(3):
-                    row = r + dy
-                    lhs2 = jnp.concatenate(
-                        [
-                            ph0_s[s, row, 1 : width + 1, :],
-                            ph1_s[s, row, 1 : width + 1, :],
-                        ],
-                        axis=-1,
-                    )
-                    if p == 0:
-                        lhs1 = ph1_s[s, row, 0:width, :]
-                        w2, w1 = wf2_ref[3 + dy], wf1_ref[dy]
-                    else:
-                        lhs1 = ph0_s[s, row, 2 : width + 2, :]
-                        w2, w1 = wf2_ref[dy], wf1_ref[3 + dy]
-                    acc = acc + jnp.dot(
-                        lhs2, w2, preferred_element_type=jnp.float32
-                    )
-                    acc = acc + jnp.dot(
-                        lhs1, w1, preferred_element_type=jnp.float32
-                    )
-                y = _mish_f32(acc + bfv).astype(ph0_s.dtype)
-                eps = jnp.dot(
-                    y, wo_ref[0], preferred_element_type=jnp.float32
-                ) + bov
-                outs.append(eps)
-            o_ref[0, r, :, :] = jnp.concatenate(outs, axis=-1).astype(out_dtype)
+            acc0 = jnp.zeros((width, c), jnp.float32)
+            acc1 = jnp.zeros((width, c), jnp.float32)
+            for dy in range(3):
+                row = r + dy
+                lhs2 = jnp.concatenate(
+                    [
+                        ph0_s[s, row, 1 : width + 1, :],
+                        ph1_s[s, row, 1 : width + 1, :],
+                    ],
+                    axis=-1,
+                )
+                both = jnp.dot(
+                    lhs2, wf2_ref[dy], preferred_element_type=jnp.float32
+                )
+                acc0 = acc0 + both[:, :c]
+                acc1 = acc1 + both[:, c:]
+            # p=0 singles (ph1, col offset 0): dy 0,1 K-packed + dy 2.
+            lhs01 = jnp.concatenate(
+                [ph1_s[s, r, 0:width, :], ph1_s[s, r + 1, 0:width, :]], axis=-1
+            )
+            acc0 = acc0 + jnp.dot(
+                lhs01, wf1p_ref[0], preferred_element_type=jnp.float32
+            )
+            acc0 = acc0 + jnp.dot(
+                ph1_s[s, r + 2, 0:width, :], wf1s_ref[0],
+                preferred_element_type=jnp.float32,
+            )
+            # p=1 singles (ph0, col offset 2): dy 0,1 K-packed + dy 2.
+            lhs11 = jnp.concatenate(
+                [
+                    ph0_s[s, r, 2 : width + 2, :],
+                    ph0_s[s, r + 1, 2 : width + 2, :],
+                ],
+                axis=-1,
+            )
+            acc1 = acc1 + jnp.dot(
+                lhs11, wf1p_ref[1], preferred_element_type=jnp.float32
+            )
+            acc1 = acc1 + jnp.dot(
+                ph0_s[s, r + 2, 2 : width + 2, :], wf1s_ref[1],
+                preferred_element_type=jnp.float32,
+            )
+            y = jnp.concatenate(
+                [
+                    _mish_f32(acc0 + bfv).astype(ph0_s.dtype),
+                    _mish_f32(acc1 + bfv).astype(ph0_s.dtype),
+                ],
+                axis=-1,
+            )
+            eps = jnp.dot(y, wo_ref[0], preferred_element_type=jnp.float32) + bov
+            o_ref[0, r, :, :] = eps.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -231,30 +275,76 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
     dtype = x.dtype
     nb = h // _ROWS_IN
 
-    # ConvT pack: index 4·half + 2·b + dx, rhs = [kt[ky_lo, b+2dx];
-    # kt[ky_hi, b+2dx]] — the lower/upper input-row taps K-stacked (the
-    # in-kernel lhs concatenates the two x ROWS at one column offset).
-    # half=0 → odd out row (a=1, ky 1/3); half=1 → even out row (ky 0/2).
+    # ConvT pack, index 3·half + slot: the lower/upper input-row taps are
+    # K-stacked (the in-kernel lhs concatenates the two x ROWS at one
+    # column offset); half=0 → odd out row (a=1, ky 1/3); half=1 → even
+    # (ky 0/2). slot 0 = (b0,dx0) single, slot 1 = the shared-lhs middle
+    # block [[k[·,2], k[·,1]]] serving BOTH phases in one 2C-wide dot,
+    # slot 2 = (b1,dx1) single; singles are zero-padded to 2C cols so the
+    # ref has one uniform shape (the kernel slices [:, :c]).
+    def _blk(ky_lo, ky_hi, cols):
+        return jnp.concatenate(
+            [
+                jnp.concatenate([kt[ky_lo, cc] for cc in cols], axis=1),
+                jnp.concatenate([kt[ky_hi, cc] for cc in cols], axis=1),
+            ],
+            axis=0,
+        )
+
+    zc = jnp.zeros_like(kt[0, 0])
     kt_p = jnp.stack(
         [
-            jnp.concatenate([kt[ky_lo, bb + 2 * dx], kt[ky_hi, bb + 2 * dx]], axis=0)
+            m
             for (ky_lo, ky_hi) in ((1, 3), (0, 2))
-            for bb in range(2)
-            for dx in range(2)
+            for m in (
+                jnp.concatenate(
+                    [_blk(ky_lo, ky_hi, [0]), jnp.concatenate([zc, zc], 0)], axis=1
+                ),
+                _blk(ky_lo, ky_hi, [2, 1]),
+                jnp.concatenate(
+                    [_blk(ky_lo, ky_hi, [3]), jnp.concatenate([zc, zc], 0)], axis=1
+                ),
+            )
         ]
-    ).astype(dtype)  # (8, 2c, c)
-    # 3×3 packs (see the stage-F tap-pairing comment): wf2[0:3] = p=1's
-    # [wf[dy,0]; wf[dy,1]], wf2[3:6] = p=0's [wf[dy,1]; wf[dy,2]];
-    # wf1[0:3] = p=0's single wf[dy,0], wf1[3:6] = p=1's single wf[dy,2].
+    ).astype(dtype)  # (6, 2c, 2c)
+    # 3×3 packs (see the stage-F tap-pairing comment). The both-phase block
+    # matrix: lhs (ph0[m]‖ph1[m]) @ wf2[dy] → cols [:c] = p0's middle taps
+    # (wf[dy,1]·ph0 + wf[dy,2]·ph1), cols [c:] = p1's (wf[dy,0]·ph0 +
+    # wf[dy,1]·ph1).
     wf2_p = jnp.stack(
-        [jnp.concatenate([wf[dy, 0], wf[dy, 1]], axis=0) for dy in range(3)]
-        + [jnp.concatenate([wf[dy, 1], wf[dy, 2]], axis=0) for dy in range(3)]
-    ).astype(dtype)  # (6, 2c, c)
-    wf1_p = jnp.stack(
-        [wf[dy, 0] for dy in range(3)] + [wf[dy, 2] for dy in range(3)]
-    ).astype(dtype)  # (6, c, c)
-    biases = [v.astype(jnp.float32).reshape(1, -1) for v in (bt, bf_, bo)]
-    wo_p = wo.astype(dtype).reshape(1, c, cout)
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate([wf[dy, 1], wf[dy, 0]], axis=1),
+                    jnp.concatenate([wf[dy, 2], wf[dy, 1]], axis=1),
+                ],
+                axis=0,
+            )
+            for dy in range(3)
+        ]
+    ).astype(dtype)  # (3, 2c, 2c)
+    # per-phase single taps: dy 0,1 row-K-packed + dy 2 single.
+    wf1p_p = jnp.stack(
+        [
+            jnp.concatenate([wf[0, 0], wf[1, 0]], axis=0),  # p0
+            jnp.concatenate([wf[0, 2], wf[1, 2]], axis=0),  # p1
+        ]
+    ).astype(dtype)  # (2, 2c, c)
+    wf1s_p = jnp.stack([wf[2, 0], wf[2, 2]]).astype(dtype)  # (2, c, c)
+    # 1×1 over both phases at once: (y0‖y1) @ blockdiag(wo, wo).
+    z = jnp.zeros_like(wo)
+    wo_p = jnp.concatenate(
+        [
+            jnp.concatenate([wo, z], axis=1),
+            jnp.concatenate([z, wo], axis=1),
+        ],
+        axis=0,
+    ).astype(dtype).reshape(1, 2 * c, 2 * cout)
+    biases = [
+        bt.astype(jnp.float32).reshape(1, -1),
+        bf_.astype(jnp.float32).reshape(1, -1),
+        jnp.concatenate([bo, bo]).astype(jnp.float32).reshape(1, -1),
+    ]
 
     kern = functools.partial(
         _kernel, width=w, c=c, cout=cout, out_dtype=dtype,
@@ -266,7 +356,7 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
             lambda i, j: (i, jnp.clip(j, 0, nb - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        full, full, full, full, full, full, full,
+        full, full, full, full, full, full, full, full,
     ]
     out_spec = pl.BlockSpec(
         (1, 2 * _ROWS_IN, w, 2 * cout),
@@ -291,7 +381,7 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
             transcendentals=2 * b * (2 * h) * (2 * w) * c,
         ),
         interpret=interpret,
-    )(x, kt_p, biases[0], wf2_p, wf1_p, biases[1], wo_p, biases[2])
+    )(x, kt_p, biases[0], wf2_p, wf1p_p, wf1s_p, biases[1], wo_p, biases[2])
     # (m, phase, c) flattens contiguously → the interleaved image is a free
     # reshape.
     return out.reshape(b, 2 * h, 2 * w, cout)
