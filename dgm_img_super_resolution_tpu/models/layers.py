@@ -355,6 +355,18 @@ def chain_head_enabled(c_stream: int, dim_out: int) -> bool:
     return dim_out == 64 and c_stream % 64 == 0 and c_stream <= 128
 
 
+def chain_ds_enabled() -> bool:
+    """Gate for folding down-stage-0's Downsample (stride-2 reflect conv)
+    into the stem chain kernel (``block_chain3_stem_ds``). Default OFF —
+    a measured NEGATIVE result (docs/DESIGN.md "Downsample-fold study"):
+    the fold removes the XLA stride-2 conv's 1.54 ms/step HBM re-read but
+    the in-kernel column phase-split (a per-row sublane-strided
+    reshape+slice, the only way Mosaic can express stride-2 column taps)
+    costs ~7 µs per grid step — 45.64 vs 37.82 ms/step in-scan, a 21%
+    REGRESSION. ``DGMSR_PALLAS_DS=1`` opts in for A/B runs."""
+    return os.environ.get("DGMSR_PALLAS_DS", "0").lower() not in ("", "0", "false")
+
+
 def chain_stem_enabled() -> bool:
     """Gate for the stem-fused chain variant (``block_chain3_stem``): folds
     the 3→dim stem conv + 1×1 residual conv of down stage 0 into the chain
@@ -668,7 +680,13 @@ class Downsample(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, weights_only=False, c_in=None):
+        if weights_only:
+            # Fused stem-chain+downsample serving path (block_chain3_stem
+            # with the stride-2 conv folded in); params/names unchanged.
+            return ReflectConvS2(c_in, dtype=self.dtype, name="conv")(
+                None, weights_only=True, c_in=c_in
+            )
         if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             return ReflectConvS2(x.shape[-1], dtype=self.dtype, name="conv")(x)
         y = reflect_pad(x, 1)
@@ -687,12 +705,15 @@ class ReflectConvS2(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, weights_only=False, c_in=None):
+        c_in = c_in if x is None else x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, x.shape[-1], self.features),
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        if weights_only:
+            return kernel, bias
         return reflect_conv3x3_stride2(x, kernel, bias, dtype=self.dtype)
 
 

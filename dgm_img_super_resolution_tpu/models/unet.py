@@ -138,7 +138,7 @@ class Unet(nn.Module):
         # three 64→64 reflect convs + every elementwise epilogue — runs as ONE
         # Pallas call, so the round-1 rowpack lesson (custom-call boundaries
         # cost XLA its cross-op fusion per Block) is amortised over the region.
-        def fused_pair(rb1, rb2, x, skip=None, cond=None):
+        def fused_pair(rb1, rb2, x, skip=None, cond=None, ds_mod=None):
             from dgm_img_super_resolution_tpu.models import layers as _l
             from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
                 block_chain3,
@@ -199,6 +199,21 @@ class Unet(nn.Module):
                 # self.dtype) — an f32 x from the sampler scan would
                 # otherwise double the rolling-slot footprint and blow the
                 # 16 MB scoped-vmem limit at 512².
+                if ds_mod is not None:
+                    # fold the Downsample's stride-2 reflect conv into the
+                    # same call — the chain output feeds it from a VMEM
+                    # ring instead of an HBM round-trip (docs/DESIGN.md
+                    # "Downsample fold"). Returns (out, ds_out).
+                    from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (
+                        block_chain3_stem_ds,
+                    )
+
+                    wds, bds = ds_mod(None, weights_only=True, c_in=rb1.dim_out)
+                    return block_chain3_stem_ds(
+                        x.astype(self.dtype), wa, ba, wr, br, tv1, tv2, wb,
+                        bb, wc, bc, wd, bd, cond, wds, bds,
+                        _BC_ROWS, _l.CHAIN_INTERPRET,
+                    )
                 return block_chain3_stem(
                     x.astype(self.dtype), wa, ba, wr, br, tv1, tv2, wb, bb,
                     wc, bc, wd, bd, cond, _BC_ROWS, _l.CHAIN_INTERPRET,
@@ -230,8 +245,34 @@ class Unet(nn.Module):
                 is_last = i >= num_res - 1
                 rb1 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res1")
                 rb2 = ResnetBlock(dim_out, self.dim, self.groups, self.dtype, name=f"down_{i}_res2")
+                x_ds = None
                 if chain_ok(x, dim_out):
-                    x = fused_pair(rb1, rb2, x, cond=cond_proj if i == 0 else None)
+                    from dgm_img_super_resolution_tpu.models import layers as _l
+
+                    ds_mod = None
+                    if (
+                        i == 0
+                        and not is_last
+                        and x.shape[-1] <= 4
+                        and _l.chain_ds_enabled()
+                        and _l.chain_stem_enabled()
+                        and dim_out == 64
+                        and x.shape[1] % 2 == 0
+                        and x.shape[2] % 2 == 0
+                        and not (self.res and self.up_input and not up_folded)
+                    ):
+                        # the Downsample folds into the stem chain call;
+                        # the per-stage XLA Downsample below is then skipped
+                        # (the module is instantiated ONCE either way, so
+                        # param names/shapes are unchanged).
+                        ds_mod = Downsample(
+                            self.dtype, name=f"down_{i}_downsample"
+                        )
+                    res = fused_pair(
+                        rb1, rb2, x, cond=cond_proj if i == 0 else None,
+                        ds_mod=ds_mod,
+                    )
+                    x, x_ds = res if isinstance(res, tuple) else (res, None)
                 else:
                     x = rb1(x_true if i == 0 else x, t)
                     x = rb2(x, t)
@@ -254,7 +295,11 @@ class Unet(nn.Module):
                     x = x + up_proj
                 h.append(x)
                 if not is_last:
-                    x = Downsample(self.dtype, name=f"down_{i}_downsample")(x)
+                    x = (
+                        x_ds
+                        if x_ds is not None
+                        else Downsample(self.dtype, name=f"down_{i}_downsample")(x)
+                    )
             if mode == "encode":
                 return tuple(h), x
 

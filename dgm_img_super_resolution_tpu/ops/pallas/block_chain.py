@@ -442,12 +442,15 @@ def _kernel_stem(
     x_ref, tv1_ref, tv2_ref, wa_ref, ba_ref, wr_ref, br_ref,
     wb_ref, bb_ref, wc_ref, bc_ref, wd_ref, bd_ref, *rest,
     rows: int, width: int, c: int, has_cond: bool, out_dtype,
+    has_ds: bool = False,
 ):
-    if has_cond:
-        cond_ref, o_ref, x_s, h1_s, y1_s, h2_s = rest
+    rest = list(rest)
+    cond_ref = rest.pop(0) if has_cond else None
+    if has_ds:
+        wds2_ref, wds1_ref, bds_ref = rest[:3]
+        o_ref, o2_ref, x_s, h1_s, y1_s, h2_s, oute_s, outo_s = rest[3:]
     else:
         o_ref, x_s, h1_s, y1_s, h2_s = rest
-        cond_ref = None
     nsteps = pl.num_programs(1)  # nb + 4
     nb = nsteps - 4
     j = pl.program_id(1)
@@ -618,13 +621,19 @@ def _kernel_stem(
         s = jax.lax.rem(nb - 1, 2)
         h2_s[s, rows + 1, :, :] = h2_s[s, rows - 1, :, :]
 
-    # ---- stage D: conv_d for h2 block j−4 → out (active j ≥ 4).
+    # ---- stage D: conv_d for h2 block j−4 → out (active j ≥ 4); in ds
+    # mode the fused Downsample of the same block runs at the END of the
+    # step (the ring is complete once this block's rows and the previous
+    # block's last row are stored — no extra pipeline lag, no trailing
+    # grid step whose unwritten output buffer would clobber the last
+    # block).
     @pl.when(j >= 4)
     def _conv_d():
         h2_rd = jax.lax.rem(j, 2)  # (j-4) % 2
         y1_rd = jax.lax.rem(j + 2, 3)  # (j-4) % 3
         bias2 = jnp.concatenate([bd_ref[0], bd_ref[0]]).astype(jnp.float32)
         accs = _rowpack_matmul(h2_s, h2_rd, wd_ref, rows, width, c)
+        os_cur = jax.lax.rem(j, 2)  # out-ring slot (j-4) % 2, ds mode only
         for r, acc in enumerate(accs):
             ya = y1_s[y1_rd, 1 + 2 * r, 1 : width + 1, :]
             yb = y1_s[y1_rd, 2 + 2 * r, 1 : width + 1, :]
@@ -637,6 +646,58 @@ def _kernel_stem(
             out = out.astype(out_dtype)
             o_ref[0, 2 * r, :, :] = out[:, :c]
             o_ref[0, 2 * r + 1, :, :] = out[:, c:]
+            if has_ds:
+                # keep the out rows for the fused Downsample (stage E),
+                # phase-split along columns via a sublane reshape (strided
+                # slicing is not expressible; the reshape is): ring slot
+                # rows 1..rows = out rows of this block, cols 1..W/2.
+                wd2 = width // 2
+                for half, row_v in ((0, out[:, :c]), (1, out[:, c:])):
+                    ph = row_v.reshape(wd2, 2, c)
+                    oute_s[os_cur, 1 + 2 * r + half, 1 : wd2 + 1, :] = ph[:, 0, :]
+                    outo_s[os_cur, 1 + 2 * r + half, 1 : wd2 + 1, :] = ph[:, 1, :]
+        if has_ds:
+            wd2 = width // 2
+            # reflect left halo of the odd phase: ds col 0's leftmost tap is
+            # image col −1 ≡ col 1 = odd-phase col 0 (its content col 1).
+            oute_s[os_cur, 1 : rows + 1, 0, :] = oute_s[os_cur, 1 : rows + 1, 1, :]
+            outo_s[os_cur, 1 : rows + 1, 0, :] = outo_s[os_cur, 1 : rows + 1, 1, :]
+            # top halo row: out row 4k−1 (previous block's last row), or the
+            # image-top reflection (out row −1 ≡ out row 1) for block 0.
+            @pl.when(j > 4)
+            def _():
+                for scr in (oute_s, outo_s):
+                    scr[os_cur, 0, :, :] = scr[1 - os_cur, rows, :, :]
+
+            @pl.when(j == 4)
+            def _():
+                for scr in (oute_s, outo_s):
+                    scr[os_cur, 0, :, :] = scr[os_cur, 2, :, :]
+
+            # fused Downsample — stride-2 reflect conv of THIS block → o2.
+            # ds row m reads out rows 2m−1..2m+1 (ring rows 2m_loc..+2);
+            # per dy the even/odd phase taps are one K-packed
+            # (W/2,2C)@(2C,C) dot plus the odd-phase left-tap single.
+            bds = bds_ref[0].astype(jnp.float32)
+            for m_loc in range(rows // 2):
+                acc2 = jnp.zeros((wd2, c), jnp.float32)
+                for dy in range(3):
+                    row = 2 * m_loc + dy
+                    lhs2 = jnp.concatenate(
+                        [
+                            oute_s[os_cur, row, 1 : wd2 + 1, :],
+                            outo_s[os_cur, row, 1 : wd2 + 1, :],
+                        ],
+                        axis=-1,
+                    )
+                    acc2 = acc2 + jnp.dot(
+                        lhs2, wds2_ref[dy], preferred_element_type=jnp.float32
+                    )
+                    acc2 = acc2 + jnp.dot(
+                        outo_s[os_cur, row, 0:wd2, :], wds1_ref[dy],
+                        preferred_element_type=jnp.float32,
+                    )
+                o2_ref[0, m_loc, :, :] = (acc2 + bds).astype(out_dtype)
 
 
 def block_chain3_stem_reference(
@@ -667,9 +728,14 @@ def block_chain3_stem_reference(
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def _block_chain3_stem_pallas(
     x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond=None,
+    wds=None, bds=None,
     *, block_rows: int = _BLOCK_ROWS, interpret: bool = False,
 ):
     b, h, w, xc = x.shape
+    has_ds = wds is not None
+    if has_ds:
+        assert wds.shape == (3, 3, wa.shape[-1], wa.shape[-1]), wds.shape
+        assert w % 2 == 0 and h % 2 == 0, (h, w)
     c = wa.shape[-1]
     cin = wa.shape[2]
     assert h % block_rows == 0 and block_rows % 2 == 0, (h, block_rows)
@@ -702,7 +768,7 @@ def _block_chain3_stem_pallas(
 
     kern = functools.partial(
         _kernel_stem, rows=block_rows, width=w, c=c, has_cond=has_cond,
-        out_dtype=dtype,
+        out_dtype=dtype, has_ds=has_ds,
     )
 
     def stream(off, ch):
@@ -726,21 +792,51 @@ def _block_chain3_stem_pallas(
     if has_cond:
         in_specs.append(stream(4, c))
         inputs.append(cond)
+    out_specs = stream(4, c)
+    out_shape = jax.ShapeDtypeStruct((b, h, w, c), dtype)
+    scratch = [
+        pltpu.VMEM((3, block_rows + 2, w + 2, cp), dtype),  # x
+        pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h1
+        pltpu.VMEM((3, block_rows + 2, w + 2, c), dtype),   # y1
+        pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h2
+    ]
+    if has_ds:
+        # fused Downsample: per-dy K-packs [k1;k2] over the (even‖odd-phase)
+        # columns + the odd-phase left-tap single (see _kernel_stem stage E).
+        wds2_p = jnp.stack(
+            [jnp.concatenate([wds[dy, 1], wds[dy, 2]], axis=0) for dy in range(3)]
+        ).astype(dtype)
+        wds1_p = jnp.stack([wds[dy, 0] for dy in range(3)]).astype(dtype)
+        in_specs += [full, full, full]
+        inputs += [wds2_p, wds1_p, bds.astype(jnp.float32).reshape(1, c)]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, block_rows // 2, w // 2, c),
+                lambda i, j: (i, jnp.clip(j - 4, 0, nb - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b, h // 2, w // 2, c), dtype),
+        ]
+        scratch += [
+            pltpu.VMEM((2, block_rows + 1, w // 2 + 1, c), dtype),  # out even
+            pltpu.VMEM((2, block_rows + 1, w // 2 + 1, c), dtype),  # out odd
+        ]
 
     return pl.pallas_call(
         kern,
         grid=(b, nb + 4),
         in_specs=in_specs,
-        out_specs=stream(4, c),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((3, block_rows + 2, w + 2, cp), dtype),  # x
-            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h1
-            pltpu.VMEM((3, block_rows + 2, w + 2, c), dtype),   # y1
-            pltpu.VMEM((2, block_rows + 2, w + 2, c), dtype),   # h2
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * (12 * cp * 2 * c + 3 * 12 * c * 2 * c + cin * c),
+            flops=2 * b * h * w
+            * (12 * cp * 2 * c + 3 * 12 * c * 2 * c + cin * c)
+            + (2 * b * (h // 2) * (w // 2) * 9 * c * c if has_ds else 0),
             bytes_accessed=(
                 b * h * w * (cp + (1 + has_cond) * c) * dtype.itemsize
             ),
@@ -791,6 +887,70 @@ def _stem_bwd(block_rows, interpret, res, g):
 
 
 block_chain3_stem.defvjp(_stem_fwd, _stem_bwd)
+
+
+def block_chain3_stem_ds_reference(
+    x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds,
+    *, dtype=None,
+):
+    """XLA reference (and custom-VJP backward): stem chain + Downsample."""
+    from dgm_img_super_resolution_tpu.models.layers import reflect_conv3x3_stride2
+
+    out = block_chain3_stem_reference(
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, dtype=dtype
+    )
+    return out, reflect_conv3x3_stride2(out, wds, bds, dtype=dtype or x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def block_chain3_stem_ds(
+    x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds,
+    block_rows: int = _BLOCK_ROWS, interpret: bool = False,
+):
+    """Stem-fused chain WITH the down-stage-0 Downsample folded in (round 5
+    — the xprof attribution measured the XLA stride-2 conv re-reading the
+    chain's 512²×64 output from HBM at 1.13 ms/step plus a 0.41 ms bias
+    fusion; in-kernel it reads the out rows from a small VMEM ring instead).
+    Returns ``(out, ds_out)`` where ``ds_out = Downsample(out)`` (reflect
+    stride-2 conv, ``wds``/``bds``). Other args as :func:`block_chain3_stem`.
+    Differentiable via the XLA reference composition."""
+    return _block_chain3_stem_pallas(
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds,
+        block_rows=block_rows, interpret=interpret,
+    )
+
+
+def _stem_ds_fwd(x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+                 wds, bds, block_rows, interpret):
+    out = block_chain3_stem_ds(
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds,
+        block_rows, interpret,
+    )
+    return out, (x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond,
+                 wds, bds)
+
+
+def _stem_ds_bwd(block_rows, interpret, res, g):
+    (x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds) = res
+    if cond is None:
+        _, vjp = jax.vjp(
+            lambda x_, wa_, ba_, wr_, br_, tv1_, tv2_, wb_, bb_, wc_, bc_,
+            wd_, bd_, wds_, bds_: block_chain3_stem_ds_reference(
+                x_, wa_, ba_, wr_, br_, tv1_, tv2_, wb_, bb_, wc_, bc_,
+                wd_, bd_, None, wds_, bds_,
+            ),
+            x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, wds, bds,
+        )
+        gs = vjp(g)
+        return (*gs[:13], None, *gs[13:])
+    _, vjp = jax.vjp(
+        block_chain3_stem_ds_reference,
+        x, wa, ba, wr, br, tv1, tv2, wb, bb, wc, bc, wd, bd, cond, wds, bds,
+    )
+    return vjp(g)
+
+
+block_chain3_stem_ds.defvjp(_stem_ds_fwd, _stem_ds_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -225,3 +225,51 @@ def test_head_chain_grad_flows_via_reference(rng):
     g_r = jax.grad(loss_ref, argnums=(0, 1))(a["x"], a["wa"])
     for gk, gr in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=1e-2)
+
+
+# ---- downsample-folded stem variant (block_chain3_stem_ds) -----------------
+
+from dgm_img_super_resolution_tpu.ops.pallas.block_chain import (  # noqa: E402
+    block_chain3_stem_ds,
+    block_chain3_stem_ds_reference,
+)
+
+
+@pytest.mark.parametrize("cond", [True, False])
+def test_stem_ds_matches_reference_f32(rng, cond):
+    a = _stem_inputs(rng, b=1, h=16, w=128, c=64)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa: E731
+    wds, bds = r(3, 3, 64, 64) * 0.05, r(64) * 0.1
+    cd = a["cond"] if cond else None
+    args = (a["x"], a["wa"], a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+            a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"], cd, wds, bds)
+    w_out, w_ds = block_chain3_stem_ds_reference(*args)
+    g_out, g_ds = block_chain3_stem_ds(*args, 4, True)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(w_out), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ds), np.asarray(w_ds), rtol=1e-4, atol=1e-5)
+
+
+def test_stem_ds_grad_flows_via_reference(rng):
+    a = _stem_inputs(rng, b=1, h=8, w=128, c=64)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)  # noqa: E731
+    wds, bds = r(3, 3, 64, 64) * 0.05, r(64) * 0.1
+
+    def loss(fn, x, wds_):
+        o, d = fn(x, a["wa"], a["ba"], a["wr"], a["br"], a["tv1"], a["tv2"],
+                  a["wb"], a["bb"], a["wc"], a["bc"], a["wd"], a["bd"], None,
+                  wds_, bds, *extra)
+        return jnp.sum(o ** 2) + jnp.sum(d ** 2)
+
+    extra = (4, True)
+    g_k = jax.grad(lambda x, w: loss(block_chain3_stem_ds, x, w), argnums=(0, 1))(
+        a["x"], wds
+    )
+    extra = ()
+    g_r = jax.grad(
+        lambda x, w: loss(
+            lambda *args: block_chain3_stem_ds_reference(*args), x, w
+        ),
+        argnums=(0, 1),
+    )(a["x"], wds)
+    for gk, gr in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=1e-2)

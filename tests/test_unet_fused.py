@@ -87,13 +87,20 @@ def test_stem_kernel_sees_compute_dtype(rng, monkeypatch):
 
     seen = {}
     orig = bc.block_chain3_stem
+    orig_ds = bc.block_chain3_stem_ds
 
     def spy(x, *a, **kw):
         seen["x_dtype"] = x.dtype
         return orig(x, *a, **kw)
 
+    def spy_ds(x, *a, **kw):
+        seen["x_dtype"] = x.dtype
+        return orig_ds(x, *a, **kw)
+
     monkeypatch.setattr(layers, "CHAIN_INTERPRET", True)
     monkeypatch.setattr(bc, "block_chain3_stem", spy)
+    # down stage 0 routes through the ds-folded variant by default
+    monkeypatch.setattr(bc, "block_chain3_stem_ds", spy_ds)
     model.apply(params, x, time, cond)
     assert seen["x_dtype"] == jnp.bfloat16
 
