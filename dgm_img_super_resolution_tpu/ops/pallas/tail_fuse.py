@@ -56,7 +56,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS_IN = 4  # input rows per grid step → 8 output rows
+_ROWS_IN = 8  # input rows per grid step → 16 output rows (measured best:
+# 37.59 vs 37.82 ms/step in-scan over rows=4; rows=16 fails to compile —
+# scoped-vmem. Falls back to 4 when 8 doesn't divide H.)
+
+
+def _rows_in(h: int) -> int:
+    """A/B override: DGMSR_TAIL_ROWS (must divide the pre-upsample H)."""
+    import os
+
+    env = os.environ.get("DGMSR_TAIL_ROWS")
+    if env:
+        rows = int(env)
+        if rows % 2 == 0 and h % rows == 0:
+            return rows
+    return _ROWS_IN if h % _ROWS_IN == 0 else 4
 
 
 def _mish_f32(x):
@@ -67,14 +81,13 @@ def _mish_f32(x):
 def _kernel(
     x_ref, kt_ref, bt_ref, wf2_ref, wf1p_ref, wf1s_ref, bf_ref, wo_ref, bo_ref,
     o_ref, x_s, ph0_s, ph1_s,
-    *, width: int, c: int, cout: int, out_dtype,
+    *, width: int, c: int, cout: int, out_dtype, rows: int,
 ):
     """Grid (B, nb+1). width = pre-upsample W; c = 64; cout = final lanes
     per phase (4 for the lane-padded carry)."""
     nsteps = pl.num_programs(1)
     nb = nsteps - 1
     j = pl.program_id(1)
-    rows = _ROWS_IN
 
     x_cur = jax.lax.rem(j, 2)
     x_prev = 1 - x_cur
@@ -271,9 +284,10 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
     assert wf.shape == (3, 3, c, c), wf.shape
     cout = wo.shape[-1]
     assert wo.shape == (c, cout), wo.shape
-    assert h % _ROWS_IN == 0, (h, _ROWS_IN)
+    rows = _rows_in(h)
+    assert h % rows == 0, (h, rows)
     dtype = x.dtype
-    nb = h // _ROWS_IN
+    nb = h // rows
 
     # ConvT pack, index 3·half + slot: the lower/upper input-row taps are
     # K-stacked (the in-kernel lhs concatenates the two x ROWS at one
@@ -347,19 +361,19 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
     ]
 
     kern = functools.partial(
-        _kernel, width=w, c=c, cout=cout, out_dtype=dtype,
+        _kernel, width=w, c=c, cout=cout, out_dtype=dtype, rows=rows,
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(
-            (1, _ROWS_IN, w, c),
+            (1, rows, w, c),
             lambda i, j: (i, jnp.clip(j, 0, nb - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ),
         full, full, full, full, full, full, full, full,
     ]
     out_spec = pl.BlockSpec(
-        (1, 2 * _ROWS_IN, w, 2 * cout),
+        (1, 2 * rows, w, 2 * cout),
         lambda i, j: (i, jnp.clip(j - 1, 0, nb - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -370,9 +384,9 @@ def _tail_fuse_pallas(x, kt, bt, wf, bf_, wo, bo, *, interpret: bool = False):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, w, 2 * cout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, _ROWS_IN + 1, w + 2, c), dtype),      # x + halo
-            pltpu.VMEM((2, 2 * _ROWS_IN + 2, w + 2, c), dtype),  # ups phase 0
-            pltpu.VMEM((2, 2 * _ROWS_IN + 2, w + 2, c), dtype),  # ups phase 1
+            pltpu.VMEM((2, rows + 1, w + 2, c), dtype),      # x + halo
+            pltpu.VMEM((2, 2 * rows + 2, w + 2, c), dtype),  # ups phase 0
+            pltpu.VMEM((2, 2 * rows + 2, w + 2, c), dtype),  # ups phase 1
         ],
         cost_estimate=pl.CostEstimate(
             # ConvT (4 taps/out pixel) + 3×3 (9 taps) + 1×1, all dense.

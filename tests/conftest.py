@@ -41,6 +41,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable references after each test module.
+
+    Two full-suite runs this round died in nondeterministic jaxlib-0.9.0
+    segfaults (one in the persistent-cache deserializer, one inside
+    XLA:CPU backend_compile itself), both deep into the run in the same
+    compile-heavy module — and never standalone. The common factor is a
+    single process accumulating hundreds of live executables; clearing
+    JAX's traces/executable caches at module boundaries bounds that state
+    (intra-module reuse is unaffected, and with the persistent cache off
+    by default cross-module reuse was already cold)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
