@@ -182,6 +182,13 @@ def main() -> None:
                 "vs_baseline": round(upscales_per_sec / BASELINE_UPSCALES_PER_SEC, 2),
                 "p50_latency_s": round(p50, 4),
                 "p99_latency_s": round(p99, 4),
+                # variance cross-check: batch/p50 is the device-compute
+                # throughput bound, insensitive to the tunnel's D2H
+                # day-to-day variance that sank the r4 driver run (7.20
+                # recorded vs 9.23 same-code re-run — docs/ROUND5.md
+                # "Measurement first"). `value` stays the honest pipelined
+                # end-to-end measurement.
+                "value_from_p50": round(batch / p50, 4),
                 "latency_batch": batch,
                 "p50_latency_s_b1": round(p50_b1, 4),
                 "p99_latency_s_b1": round(p99_b1, 4),
