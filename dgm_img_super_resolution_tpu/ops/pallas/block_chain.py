@@ -52,17 +52,21 @@ _BLOCK_ROWS = 4
 
 def chain_block_rows(h: int | None = None) -> int:
     """Output rows per grid step (A/B override: ``DGMSR_CHAIN_ROWS``).
-    When ``h`` is given, falls back to ``_BLOCK_ROWS`` unless the override
-    divides it (the kernels require h % rows == 0 and rows % 2 == 0)."""
+    When ``h`` is given, falls back to the default unless the override
+    divides it (the kernels require h % rows == 0 and rows % 2 == 0).
+    Default: 8 at H ≤ 256 (the 256² up-stage chain — its W=256 rolling
+    slots fit the scoped-vmem budget at 8 rows), 4 at 512² (8 is a
+    measured scoped-vmem OOM there, 19.26 M vs the 16 M limit)."""
     import os
 
     env = os.environ.get("DGMSR_CHAIN_ROWS")
-    if not env:
-        return _BLOCK_ROWS
-    rows = int(env)
-    if rows % 2 or (h is not None and h % rows):
-        return _BLOCK_ROWS
-    return rows
+    if env:
+        rows = int(env)
+        if rows % 2 == 0 and (h is None or h % rows == 0):
+            return rows
+    if h is not None and h <= 256 and h % 8 == 0:
+        return 8
+    return _BLOCK_ROWS
 
 
 def _mish_f32(x):
