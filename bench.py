@@ -109,7 +109,11 @@ def main() -> None:
     # steady-state throughput: dispatch all iterations, fetch results at the
     # end — device→host transfers of batch i overlap batch i+1's compute,
     # exactly how a serving deployment pipelines requests.
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # 16 iterations (128 images, ~13 s): halves the warmup/edge share of the
+    # pipelined-throughput window vs 8 — the driver-recorded `value` is the
+    # round's headline and the tunnel makes it the noisiest number in the
+    # JSON (see docs/ROUND5.md "Measurement first").
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     t0 = time.perf_counter()
     outs = [
         pipe.upscale_batch_device(imgs, jax.random.PRNGKey(i), as_uint8=True)
